@@ -1,0 +1,117 @@
+"""Solver / problem / mesh configuration (components T14, §5.6).
+
+The reference drives everything from a ``parameters`` dict with defaults
+filled in by the driver (``problemshape``, ``gridlevels``, ``iterations``,
+``cycles``, ``threshold``, ``verbose`` — SURVEY.md R7/§5.6).  The build uses
+frozen dataclasses with the same vocabulary so reference configs translate
+1:1; :func:`SolverConfig.from_parameters` performs that translation and
+:func:`openmg_tpu.core.solver.mg_solve` accepts the raw dict directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+__all__ = ["SolverConfig", "ProblemConfig", "MeshConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Multigrid solver configuration.
+
+    gridlevels: number of levels (None → full depth by factor-2 coarsening).
+    pre_iterations: pre-smoothing sweeps per level visit (reference
+        ``iterations``).
+    post_iterations: post-smoothing sweeps (reference default had none;
+        build default 1 for a symmetric cycle).
+    cycles: max outer V-cycles (0 → unlimited-with-safety-cap).
+    threshold: absolute ‖r‖₂ convergence target (reference semantics).
+    smoother: "jacobi" | "rbgs".
+    omega: weighted-Jacobi damping (2/3 is optimal for 1D Poisson; a robust
+        all-round default).
+    dtype: cycle computation dtype (f32 on TPU).
+    residual_dtype: outer residual / iterative-refinement dtype; with
+        float64 (requires jax_enable_x64) the f32 V-cycle acts as the
+        preconditioner of a defect-correction loop that reaches 1e-10
+        (SURVEY.md §7 "Hard parts", Plan A).  None → same as dtype.
+    max_dense_coarse: largest coarsest-level size solved by the
+        precomputed dense solve (T8).
+    """
+
+    gridlevels: Optional[int] = None
+    pre_iterations: int = 2
+    post_iterations: int = 2
+    cycles: int = 100
+    threshold: float = 1e-10
+    smoother: str = "rbgs"
+    omega: float = 2.0 / 3.0
+    dtype: str = "float32"
+    residual_dtype: Optional[str] = "float64"
+    max_dense_coarse: int = 4096
+    min_coarse_dim: int = 1
+    verbose: bool = False
+
+    @staticmethod
+    def from_parameters(parameters: dict) -> "SolverConfig":
+        """Translate a reference-style ``parameters`` dict (R7 vocabulary)."""
+        p = dict(parameters)
+        known = {
+            "gridlevels": p.pop("gridlevels", None),
+            "pre_iterations": p.pop("iterations", 2),
+            "cycles": p.pop("cycles", 100),
+            "threshold": p.pop("threshold", 1e-10),
+            "verbose": p.pop("verbose", False),
+        }
+        p.pop("problemshape", None)  # carried by ProblemConfig
+        p.pop("dense", None)  # reference debug toggle; build is format-aware
+        for extra in (
+            "post_iterations",
+            "smoother",
+            "omega",
+            "dtype",
+            "residual_dtype",
+            "max_dense_coarse",
+            "min_coarse_dim",
+        ):
+            if extra in p:
+                known[extra] = p.pop(extra)
+        if p:
+            raise ValueError(f"unknown parameters: {sorted(p)}")
+        return SolverConfig(**known)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "SolverConfig":
+        return SolverConfig(**json.loads(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Problem description: a Poisson grid (reference `problemshape`)."""
+
+    shape: Tuple[int, ...]
+    rhs: str = "random"  # "random" | "ones"
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed solver (T9/T16).
+
+    n_devices: mesh size along the partition axis (None → all local devices).
+    axis_name: mesh axis name used by shard_map collectives.
+    min_rows_per_device: levels whose axis-0 extent per device would fall
+        below this (or lose factor-2 divisibility) are replicated instead of
+        partitioned (coarse-level redistribution, T11).
+    """
+
+    n_devices: Optional[int] = None
+    axis_name: str = "x"
+    min_rows_per_device: int = 2

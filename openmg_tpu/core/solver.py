@@ -1,0 +1,222 @@
+"""Driver / public API (component R7, plus the mixed-precision outer loop).
+
+Two entry points:
+
+* :func:`mg_solve` — reference-compatible: ``mg_solve(A, b, parameters)``
+  with the reference's parameters-dict vocabulary (SURVEY.md R7).  ``A`` may
+  be a scipy sparse matrix (its exact stencil form is extracted when it is
+  grid-structured) or ``None`` to assemble Poisson from ``problemshape``.
+* :func:`setup` / :func:`solve` — the native API: build a :class:`Solver`
+  once (hierarchy + jitted cycle), then solve many right-hand sides.
+
+Convergence loop (defect-correction form): because every cycle component is
+linear, ``V(b, x) == x + V(b − A x, 0)``, so the driver iterates
+``x ← x + V(r, 0)`` with the residual ``r = b − A x`` evaluated in
+``residual_dtype`` (float64) while the V-cycle itself runs in ``dtype``
+(float32).  This is classical iterative refinement and is how an f32 TPU
+cycle reaches the reference's 1e-10 absolute tolerance (SURVEY.md §7
+"Hard parts", Plan A).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openmg_tpu.core.config import ProblemConfig, SolverConfig
+from openmg_tpu.core.cycle import v_cycle
+from openmg_tpu.core.hierarchy import Hierarchy, build_hierarchy
+from openmg_tpu.models.poisson import poisson_stencil, stencil_from_csr
+from openmg_tpu.ops.stencil import apply as stencil_apply
+
+__all__ = ["Solver", "setup", "solve", "mg_solve"]
+
+
+def _resolve_dtype(name):
+    if name is None:
+        return None
+    dt = jnp.dtype(name)
+    if dt == jnp.float64 and not jax.config.jax_enable_x64:
+        warnings.warn(
+            "residual_dtype=float64 requested but jax_enable_x64 is off; "
+            "falling back to float32 (1e-10 absolute tolerances may be "
+            "unreachable)",
+            stacklevel=3,
+        )
+        return jnp.dtype(jnp.float32)
+    return dt
+
+
+class Solver:
+    """A configured multigrid solver bound to one operator hierarchy.
+
+    Holds the static level pytree and the jitted cycle/residual programs;
+    ``solve`` runs the outer defect-correction loop on the host (one device
+    sync per cycle — negligible against cycle cost at benchmark sizes, and
+    it is what produces the per-cycle residual history, matching the
+    reference driver's observable behavior).
+    """
+
+    def __init__(self, hierarchy: Hierarchy, config: SolverConfig):
+        self.hierarchy = hierarchy
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        self.residual_dtype = _resolve_dtype(config.residual_dtype) or self.dtype
+
+        cyc = functools.partial(
+            _cycle_step,
+            pre=config.pre_iterations,
+            post=config.post_iterations,
+            smoother=config.smoother,
+            omega=config.omega,
+            cycle_dtype=self.dtype,
+        )
+        self._cycle = cyc  # _cycle_step is already jitted
+        self._residual = _residual_norm
+
+    @property
+    def grid_shape(self):
+        return self.hierarchy.grid_shape
+
+    def solve(self, b, x0=None):
+        """Solve ``A x = b`` to the configured threshold.
+
+        ``b`` is grid-shaped (or flat; it is reshaped).  Returns
+        ``(x, info)`` with the per-cycle residual-norm history (component
+        R10/T15 observability surface).
+        """
+        cfg = self.config
+        h = self.hierarchy
+        shape = self.grid_shape
+        b = jnp.asarray(np.asarray(b).reshape(shape), dtype=self.residual_dtype)
+        if x0 is None:
+            x = jnp.zeros(shape, dtype=self.residual_dtype)
+        else:
+            x = jnp.asarray(np.asarray(x0).reshape(shape), dtype=self.residual_dtype)
+
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        history = []
+        cycle_times = []
+        converged = False
+        t_start = time.perf_counter()
+        for k in range(limit + 1):
+            r, rnorm = self._residual(h.fine_hi, b, x)
+            rnorm = float(rnorm)
+            history.append(rnorm)
+            if cfg.verbose:
+                print(f"[openmg_tpu] cycle {k}: ‖r‖ = {rnorm:.3e}")
+            if rnorm < cfg.threshold:
+                converged = True
+                break
+            if k == limit:
+                break
+            t0 = time.perf_counter()
+            e = self._cycle(h, r)
+            x = x + e.astype(self.residual_dtype)
+            x.block_until_ready()
+            cycle_times.append(time.perf_counter() - t0)
+
+        info = {
+            "residual_norms": history,
+            "cycles": len(history) - 1,
+            "converged": converged,
+            "final_norm": history[-1],
+            "gridlevels": h.num_levels,
+            "level_stats": h.stats,
+            "cycle_times_s": cycle_times,
+            "solve_time_s": time.perf_counter() - t_start,
+        }
+        return x, info
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pre", "post", "smoother", "omega", "cycle_dtype")
+)
+def _cycle_step(hierarchy, r, *, pre, post, smoother, omega, cycle_dtype):
+    """One error-correction V-cycle: e = V(r, 0) in the cycle dtype."""
+    r32 = r.astype(cycle_dtype)
+    return v_cycle(
+        hierarchy,
+        r32,
+        jnp.zeros_like(r32),
+        0,
+        pre,
+        post,
+        smoother,
+        omega,
+    )
+
+
+@jax.jit
+def _residual_norm(fine_hi, b, x):
+    r = b - stencil_apply(fine_hi, x)
+    # sqrt-of-sum rather than jnp.linalg.norm: norm lowers to a dot, and
+    # float64 dots hit an emulated-f64 MXU path whose compile time is
+    # pathological on the TPU relay backend (measured ~4 min for a length-64
+    # vector); the elementwise reduction compiles in <1 s and is exact.
+    return r, jnp.sqrt(jnp.sum(r * r))
+
+
+def setup(problem, config: SolverConfig | None = None) -> Solver:
+    """Build a :class:`Solver`.
+
+    ``problem`` is a :class:`ProblemConfig`, a grid shape tuple (Poisson is
+    assembled), or an ``(offsets, coeffs)`` stencil pair.
+    """
+    config = config or SolverConfig()
+    if isinstance(problem, ProblemConfig):
+        shape = problem.shape
+        offsets, coeffs = poisson_stencil(shape)
+    elif isinstance(problem, tuple) and len(problem) == 2 and not all(
+        isinstance(s, (int, np.integer)) for s in problem
+    ):
+        offsets, coeffs = problem
+    elif isinstance(problem, tuple):
+        offsets, coeffs = poisson_stencil(problem)
+    else:
+        raise TypeError(f"unsupported problem spec: {type(problem)}")
+    hierarchy = build_hierarchy(
+        offsets,
+        coeffs,
+        gridlevels=config.gridlevels,
+        dtype=jnp.dtype(config.dtype),
+        residual_dtype=_resolve_dtype(config.residual_dtype) or jnp.dtype(config.dtype),
+        max_dense_coarse=config.max_dense_coarse,
+        min_coarse_dim=config.min_coarse_dim,
+    )
+    return Solver(hierarchy, config)
+
+
+def solve(problem, b, config: SolverConfig | None = None, x0=None):
+    """One-shot native API: setup + solve."""
+    return setup(problem, config).solve(b, x0)
+
+
+def mg_solve(A, b, parameters: dict):
+    """Reference-compatible driver (SURVEY.md R7 vocabulary).
+
+    ``A``: scipy sparse / dense matrix over the grid named by
+    ``parameters['problemshape']`` (its exact stencil form is extracted),
+    or ``None`` to assemble the Poisson operator.  ``b``: flat or
+    grid-shaped right-hand side.  Returns ``(x, info)`` with ``x`` flat,
+    matching the reference's vector-in/vector-out surface.
+    """
+    if "problemshape" not in parameters:
+        raise ValueError("parameters must include 'problemshape'")
+    shape = tuple(int(s) for s in parameters["problemshape"])
+    config = SolverConfig.from_parameters(parameters)
+    if A is None:
+        stencil = poisson_stencil(shape)
+    else:
+        import scipy.sparse as sp
+
+        A_sp = sp.csr_matrix(A)
+        stencil = stencil_from_csr(A_sp, shape)
+    solver = setup(stencil, config)
+    x, info = solver.solve(b)
+    return np.asarray(x).reshape(-1), info

@@ -1,0 +1,189 @@
+"""Poisson problem generators (reference component R1, SURVEY.md §2A).
+
+The reference (`tsbertalan/openmg`) assembles the d-dimensional Poisson
+(negative Laplacian) operator on an N^d regular grid with homogeneous
+Dirichlet boundary conditions as a scipy.sparse matrix: diagonal ``2d``,
+off-diagonal ``-1`` for each in-domain face neighbor.  (Reference mount was
+empty at survey time — see SURVEY.md §0 — so parity is defined against
+BASELINE.json and the SciPy-2012 paper's algorithm description.)
+
+Two representations are produced:
+
+* ``poisson(shape)`` — scipy.sparse CSR, byte-compatible with the reference's
+  assembly (kron-sum of 1D tridiagonal Laplacians; row-major grid ordering).
+  This is the interchange / oracle format.
+* ``poisson_stencil(shape)`` — the TPU-native form: a DIA-on-grid ("stencil")
+  operator, ``(offsets, coeffs)`` with ``coeffs[k]`` the per-grid-point
+  coefficient of neighbor offset ``offsets[k]`` (zero where the neighbor
+  falls outside the domain).  Regular-grid sparse matrices are exactly
+  representable this way, and shift-multiply-add on dense grid arrays is the
+  idiomatic TPU execution model (VPU-vectorized, HBM-streaming, no gather).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = [
+    "poisson",
+    "poisson_stencil",
+    "poisson_offsets",
+    "stencil_to_csr",
+    "stencil_from_csr",
+    "rhs_random",
+    "rhs_ones",
+]
+
+
+def _lap1d(n: int) -> sp.csr_matrix:
+    """1D tridiagonal (-1, 2, -1) operator (Dirichlet)."""
+    return sp.diags(
+        [-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
+        offsets=[-1, 0, 1],
+        format="csr",
+    )
+
+
+def poisson(shape) -> sp.csr_matrix:
+    """d-dim Poisson matrix on a regular grid, row-major (C) ordering.
+
+    Kron-sum of 1D Laplacians: diagonal ``2*d``, ``-1`` per face neighbor.
+    Matches the reference's operator (SURVEY.md R1).
+    """
+    shape = tuple(int(s) for s in shape)
+    if len(shape) == 0 or any(s < 1 for s in shape):
+        raise ValueError(f"invalid problem shape {shape}")
+    eyes = [sp.identity(s, format="csr") for s in shape]
+    n = int(np.prod(shape))
+    A = sp.csr_matrix((n, n))
+    for axis in range(len(shape)):
+        term = None
+        for ax in range(len(shape)):
+            M = _lap1d(shape[ax]) if ax == axis else eyes[ax]
+            term = M if term is None else sp.kron(term, M, format="csr")
+        A = A + term
+    A = A.tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def poisson_offsets(ndim: int) -> tuple:
+    """Stencil offsets of the (2d+1)-point Poisson operator: center first,
+    then -/+ unit offsets per axis."""
+    offs = [(0,) * ndim]
+    for axis in range(ndim):
+        for s in (-1, 1):
+            o = [0] * ndim
+            o[axis] = s
+            offs.append(tuple(o))
+    return tuple(offs)
+
+
+def poisson_stencil(shape, dtype=np.float64):
+    """Analytic stencil (DIA-on-grid) form of :func:`poisson`.
+
+    Returns ``(offsets, coeffs)`` with ``coeffs`` of shape ``(K, *shape)``:
+    ``coeffs[k][i] == A[i, i + offsets[k]]`` and 0 where ``i + offsets[k]``
+    is outside the grid.  Exactly equals ``poisson(shape)`` entrywise
+    (tested in tests/test_poisson.py).
+    """
+    shape = tuple(int(s) for s in shape)
+    d = len(shape)
+    offsets = poisson_offsets(d)
+    coeffs = np.zeros((len(offsets),) + shape, dtype=dtype)
+    coeffs[0] = 2.0 * d
+    for k, off in enumerate(offsets[1:], start=1):
+        c = -np.ones(shape, dtype=dtype)
+        # zero out rows whose neighbor at `off` leaves the domain
+        for axis, o in enumerate(off):
+            if o == -1:
+                idx = [slice(None)] * d
+                idx[axis] = slice(0, 1)
+                c[tuple(idx)] = 0.0
+            elif o == 1:
+                idx = [slice(None)] * d
+                idx[axis] = slice(shape[axis] - 1, shape[axis])
+                c[tuple(idx)] = 0.0
+        coeffs[k] = c
+    return offsets, coeffs
+
+
+def stencil_to_csr(offsets, coeffs) -> sp.csr_matrix:
+    """Materialize a stencil operator as scipy CSR (for oracles/tests)."""
+    coeffs = np.asarray(coeffs)
+    shape = coeffs.shape[1:]
+    n = int(np.prod(shape))
+    rows_list, cols_list, vals_list = [], [], []
+    grid = np.indices(shape)  # (d, *shape)
+    flat_rows = np.arange(n).reshape(shape)
+    for k, off in enumerate(offsets):
+        nbr = grid + np.asarray(off).reshape((-1,) + (1,) * len(shape))
+        valid = np.ones(shape, dtype=bool)
+        for axis, s in enumerate(shape):
+            valid &= (nbr[axis] >= 0) & (nbr[axis] < s)
+        vals = coeffs[k][valid]
+        nz = vals != 0
+        cols = np.ravel_multi_index(
+            tuple(nbr[axis][valid] for axis in range(len(shape))), shape
+        )
+        rows_list.append(flat_rows[valid][nz])
+        cols_list.append(cols[nz])
+        vals_list.append(vals[nz])
+    rows = np.concatenate(rows_list)
+    cols = np.concatenate(cols_list)
+    vals = np.concatenate(vals_list)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def stencil_from_csr(A, shape, max_offsets: int = 125):
+    """Extract the exact stencil (DIA-on-grid) form of a grid-structured
+    sparse matrix.
+
+    Every sparse matrix whose row/column indices live on a regular grid of
+    ``shape`` is exactly representable as a set of per-offset coefficient
+    arrays; the number of distinct multi-index offsets must stay bounded
+    (``max_offsets``) or a ``ValueError`` is raised — callers then fall back
+    to the general CSR engine.
+    """
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    A = sp.csr_matrix(A)
+    if A.shape != (n, n):
+        raise ValueError(f"matrix shape {A.shape} != grid size {n}")
+    coo = A.tocoo()
+    rc = np.stack(np.unravel_index(coo.row, shape), axis=1)  # (nnz, d)
+    cc = np.stack(np.unravel_index(coo.col, shape), axis=1)
+    deltas = cc - rc  # (nnz, d)
+    uniq, inverse = np.unique(deltas, axis=0, return_inverse=True)
+    if len(uniq) > max_offsets:
+        raise ValueError(
+            f"matrix has {len(uniq)} distinct grid offsets (> {max_offsets}); "
+            "not stencil-representable within budget"
+        )
+    offsets = tuple(tuple(int(v) for v in row) for row in uniq)
+    coeffs = np.zeros((len(offsets),) + shape, dtype=coo.data.dtype)
+    flat = coeffs.reshape(len(offsets), n)
+    # accumulate (duplicates summed, matching CSR semantics)
+    np.add.at(flat, (inverse, coo.row), coo.data)
+    # put the zero offset first if present (diagonal-first convention)
+    zero = (0,) * len(shape)
+    if zero in offsets:
+        z = offsets.index(zero)
+        if z != 0:
+            order = [z] + [i for i in range(len(offsets)) if i != z]
+            offsets = tuple(offsets[i] for i in order)
+            coeffs = coeffs[order]
+    return offsets, coeffs
+
+
+def rhs_random(shape, seed: int = 0, dtype=np.float64) -> np.ndarray:
+    """Reproducible random right-hand side on the grid."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(tuple(int(s) for s in shape)).astype(dtype)
+
+
+def rhs_ones(shape, dtype=np.float64) -> np.ndarray:
+    return np.ones(tuple(int(s) for s in shape), dtype=dtype)

@@ -1,0 +1,97 @@
+"""Stationary smoothers on stencil operators (components R4, T3, T4).
+
+The reference pre-smooths with lexicographic Gauss–Seidel
+(``iterative_solve``, SURVEY.md R4) — inherently sequential over rows.  The
+TPU build uses the two order-free variants named by BASELINE:
+
+* weighted Jacobi  ``x ← x + ω D⁻¹ (b − A x)``  (T3), and
+* red–black Gauss–Seidel — update the red parity class from black, then
+  black from red (T4).  For bipartite stencils (the 2d+1-point Poisson
+  operators and all aggregation-Galerkin coarsenings of them, which stay
+  (2d+1)-point) this is exactly Gauss–Seidel in the red-black ordering.
+
+These are the jnp reference implementations; XLA already fuses each sweep
+into a single HBM-streaming loop nest.  The Pallas fused kernels
+(:mod:`openmg_tpu.ops.kernels`) implement the same math with explicit VMEM
+tiling and are tested against these.
+
+Iteration counts are static (Python ints), so sweeps unroll at trace time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from openmg_tpu.ops.stencil import StencilOperator, apply, diag_index, shift
+
+__all__ = ["jacobi", "rbgs", "red_mask", "smooth"]
+
+
+def jacobi(
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations: int,
+    omega: float = 2.0 / 3.0,
+):
+    om = jnp.asarray(omega, dtype=x.dtype)
+    for _ in range(iterations):
+        x = x + om * inv_diag * (b - apply(op, x))
+    return x
+
+
+def red_mask(shape) -> "jnp.ndarray":
+    """Boolean grid mask: True where the coordinate-sum parity is even."""
+    import numpy as np
+
+    grids = np.indices(tuple(int(s) for s in shape))
+    return jnp.asarray(grids.sum(axis=0) % 2 == 0)
+
+
+def _offdiag_apply(op: StencilOperator, x):
+    """(A − D) x : stencil apply skipping the zero offset."""
+    di = diag_index(op.offsets)
+    y = None
+    for k, off in enumerate(op.offsets):
+        if k == di:
+            continue
+        t = op.coeffs[k] * shift(x, off)
+        y = t if y is None else y + t
+    return y
+
+
+def rbgs(
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations: int,
+    mask,
+):
+    """Red–black Gauss–Seidel: per half-sweep, colored points are set to
+    ``D⁻¹ (b − (A − D) x)`` using the other color's current values."""
+    for _ in range(iterations):
+        for m in (mask, ~mask):
+            xn = inv_diag * (b - _offdiag_apply(op, x))
+            x = jnp.where(m, xn, x)
+    return x
+
+
+def smooth(
+    name: str,
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations: int,
+    omega: float,
+    mask,
+):
+    if iterations <= 0:
+        return x
+    if name == "jacobi":
+        return jacobi(op, inv_diag, b, x, iterations, omega)
+    if name == "rbgs":
+        return rbgs(op, inv_diag, b, x, iterations, mask)
+    raise ValueError(f"unknown smoother {name!r}")

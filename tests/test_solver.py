@@ -1,0 +1,141 @@
+"""End-to-end solver: BASELINE configs 1–3 (CPU-sized), oracle parity
+(T7/T12, SURVEY.md §4.2-1) and the reference-compat API surface."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from openmg_tpu import SolverConfig, mg_solve, setup, solve
+from openmg_tpu.models.poisson import poisson, poisson_stencil, rhs_random
+from openmg_tpu.utils.oracle import reference_mg_solve
+
+
+def _direct(shape, b):
+    A = poisson(shape)
+    return spla.spsolve(sp.csc_matrix(A), b.ravel())
+
+
+@pytest.mark.parametrize(
+    "shape,cfg",
+    [
+        # BASELINE config 1: 1D N=64, 2-level, weighted Jacobi
+        ((64,), SolverConfig(gridlevels=2, smoother="jacobi", pre_iterations=2,
+                             post_iterations=2, cycles=400, max_dense_coarse=64)),
+        # BASELINE config 2 (shrunk): 2D, 5-level, red–black GS
+        ((32, 32), SolverConfig(gridlevels=5, smoother="rbgs", cycles=100,
+                                max_dense_coarse=16)),
+        # BASELINE config 3 (shrunk): 3D full depth, Galerkin RAP
+        ((16, 16, 16), SolverConfig(smoother="rbgs", cycles=100)),
+    ],
+)
+def test_converges_to_direct_solve(shape, cfg):
+    b = rhs_random(shape, seed=0)
+    x, info = solve(shape, b, cfg)
+    assert info["converged"], info["residual_norms"]
+    assert info["final_norm"] < cfg.threshold
+    np.testing.assert_allclose(
+        np.asarray(x).ravel(), _direct(shape, b), atol=1e-7
+    )
+
+
+def test_trajectory_matches_oracle_jacobi():
+    """Same smoother + same hierarchy ⇒ same per-cycle residual trajectory
+    as the numpy mirror (behavioral parity, not just the fixed point)."""
+    shape = (64,)
+    b = rhs_random(shape, seed=1)
+    cfg = SolverConfig(
+        gridlevels=3,
+        smoother="jacobi",
+        pre_iterations=2,
+        post_iterations=1,
+        cycles=40,
+        threshold=1e-9,
+        dtype="float64",
+        residual_dtype="float64",
+        max_dense_coarse=64,
+    )
+    x, info = solve(shape, b, cfg)
+    A = poisson(shape)
+    x_ref, info_ref = reference_mg_solve(
+        A,
+        b.ravel(),
+        {
+            "problemshape": shape,
+            "gridlevels": 3,
+            "iterations": 2,
+            "post_iterations": 1,
+            "cycles": 40,
+            "threshold": 1e-9,
+            "smoother": "jacobi",
+        },
+    )
+    assert info["cycles"] == info_ref["cycles"]
+    n = min(len(info["residual_norms"]), len(info_ref["residual_norms"]))
+    np.testing.assert_allclose(
+        info["residual_norms"][:n], info_ref["residual_norms"][:n], rtol=1e-6
+    )
+
+
+def test_mixed_precision_refinement_reaches_1e10():
+    """f32 cycle + f64 outer residual reaches the reference's 1e-10
+    absolute tolerance (SURVEY.md §7 mixed-precision plan A)."""
+    shape = (32, 32)
+    b = rhs_random(shape, seed=2)
+    cfg = SolverConfig(
+        smoother="rbgs", dtype="float32", residual_dtype="float64", cycles=200
+    )
+    x, info = solve(shape, b, cfg)
+    assert info["converged"]
+    assert info["final_norm"] < 1e-10
+
+
+def test_mg_solve_reference_api():
+    """Reference-style call: scipy A + parameters dict, flat x out."""
+    shape = (16, 16)
+    A = poisson(shape)
+    b = rhs_random(shape, seed=3).ravel()
+    x, info = mg_solve(
+        A,
+        b,
+        {
+            "problemshape": shape,
+            "gridlevels": 3,
+            "iterations": 2,
+            "cycles": 100,
+            "threshold": 1e-10,
+            "verbose": False,
+        },
+    )
+    assert x.shape == (256,)
+    assert info["converged"]
+    np.testing.assert_allclose(x, _direct(shape, b), atol=1e-7)
+
+
+def test_mg_solve_assembles_poisson_when_A_none():
+    shape = (16,)
+    b = rhs_random(shape, seed=4).ravel()
+    x, info = mg_solve(None, b, {"problemshape": shape, "cycles": 100})
+    assert info["converged"]
+
+
+def test_mg_solve_rejects_unknown_parameters():
+    with pytest.raises(ValueError):
+        mg_solve(None, np.ones(4), {"problemshape": (4,), "bogus": 1})
+
+
+def test_solver_reuse_multiple_rhs():
+    shape = (16, 16)
+    solver = setup(shape, SolverConfig(cycles=100))
+    for seed in (0, 1):
+        b = rhs_random(shape, seed=seed)
+        x, info = solver.solve(b)
+        assert info["converged"]
+
+
+def test_nonconvergence_reported_honestly():
+    shape = (16, 16)
+    cfg = SolverConfig(cycles=1, threshold=1e-14)
+    x, info = solve(shape, rhs_random(shape, seed=5), cfg)
+    assert not info["converged"]
+    assert len(info["residual_norms"]) == 2
