@@ -32,10 +32,20 @@ class SolverConfig:
     omega: weighted-Jacobi damping (2/3 is optimal for 1D Poisson; a robust
         all-round default).
     dtype: cycle computation dtype (f32 on TPU).
-    residual_dtype: outer residual / iterative-refinement dtype; with
-        float64 (requires jax_enable_x64) the f32 V-cycle acts as the
-        preconditioner of a defect-correction loop that reaches 1e-10
-        (SURVEY.md §7 "Hard parts", Plan A).  None → same as dtype.
+    transfer: intergrid transfer spec — "aggregate" is the reference's
+        piecewise-constant scheme (parity default); "linear" is
+        vertex-centered full-weighting/linear interpolation (much better
+        convergence rate; recommended for performance runs).
+    residual_dtype: outer residual / iterative-refinement precision; the
+        f32 V-cycle acts as the preconditioner of a defect-correction loop
+        evaluated at this precision, which is how 1e-10 absolute residuals
+        are reached (SURVEY.md §7 "Hard parts", Plan A).  Choices:
+        "doublefloat" (two-f32 compensated arithmetic — the TPU-native
+        path, no f64 on device), "float64" (requires jax_enable_x64; fast
+        on CPU, pathologically slow to backend-compile on this TPU),
+        "float32", None (same as dtype), or "auto" (default:
+        doublefloat on TPU, float64 on CPU when x64 is enabled, else
+        doublefloat).
     max_dense_coarse: largest coarsest-level size solved by the
         precomputed dense solve (T8).
     """
@@ -47,8 +57,9 @@ class SolverConfig:
     threshold: float = 1e-10
     smoother: str = "rbgs"
     omega: float = 2.0 / 3.0
+    transfer: str = "aggregate"  # "aggregate" (reference-parity) | "linear"
     dtype: str = "float32"
-    residual_dtype: Optional[str] = "float64"
+    residual_dtype: Optional[str] = "auto"
     max_dense_coarse: int = 4096
     min_coarse_dim: int = 1
     verbose: bool = False
@@ -70,6 +81,7 @@ class SolverConfig:
             "post_iterations",
             "smoother",
             "omega",
+            "transfer",
             "dtype",
             "residual_dtype",
             "max_dense_coarse",

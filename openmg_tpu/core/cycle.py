@@ -47,7 +47,7 @@ def v_cycle(
         return coarse_solve(hierarchy, b)
     x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega, L.mask)
     r = residual(L.A, b, x)
-    bc = restrict(r)
+    bc = restrict(r, hierarchy.transfer)
     ec = v_cycle(
         hierarchy,
         bc,
@@ -58,6 +58,6 @@ def v_cycle(
         smoother,
         omega,
     )
-    x = x + prolong(ec, L.grid_shape)
+    x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
     x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega, L.mask)
     return x

@@ -22,7 +22,7 @@ from openmg_tpu.models.poisson import stencil_to_csr
 from openmg_tpu.ops.galerkin import galerkin_rap_stencil
 from openmg_tpu.ops.smoothers import red_mask
 from openmg_tpu.ops.stencil import StencilOperator, diag_index
-from openmg_tpu.ops.transfer import coarse_shape
+from openmg_tpu.ops.transfer import AGGREGATE, Transfer, coarse_shape
 
 __all__ = ["Level", "Hierarchy", "build_hierarchy", "default_gridlevels"]
 
@@ -45,15 +45,20 @@ class Level:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("levels", "coarse_inv", "fine_hi"),
-    meta_fields=("stats",),
+    data_fields=("levels", "coarse_inv", "fine_hi", "fine_hi_lo"),
+    meta_fields=("stats", "transfer"),
 )
 @dataclasses.dataclass(frozen=True)
 class Hierarchy:
     levels: tuple  # tuple[Level, ...], finest first
     coarse_inv: jax.Array  # (nc, nc) dense inverse of the coarsest operator
-    fine_hi: StencilOperator  # fine operator in the outer residual dtype
+    fine_hi: StencilOperator  # fine operator for the outer residual
+    # double-float residual mode: fine_hi holds the f32 hi coefficients and
+    # fine_hi_lo the f32 lo remainders (exact two-f32 split of the f64
+    # operator); None in plain float modes.
+    fine_hi_lo: StencilOperator | None
     stats: tuple  # static per-level (shape, num_offsets, true_nnz)
+    transfer: Transfer  # static intergrid transfer spec
 
     @property
     def num_levels(self) -> int:
@@ -87,6 +92,7 @@ def build_hierarchy(
     gridlevels=None,
     dtype=jnp.float32,
     residual_dtype=None,
+    transfer: Transfer = AGGREGATE,
     max_dense_coarse: int = 4096,
     min_coarse_dim: int = 1,
 ) -> Hierarchy:
@@ -94,8 +100,9 @@ def build_hierarchy(
 
     ``coeffs`` may be numpy (host setup, recommended — runs in float64) or a
     device array.  Levels are cast to ``dtype`` for the cycle; the fine
-    operator is additionally kept in ``residual_dtype`` for the outer
-    defect-correction residual (SURVEY.md §7 mixed-precision plan).
+    operator is additionally kept at ``residual_dtype`` precision for the
+    outer defect-correction residual (SURVEY.md §7 mixed-precision plan) —
+    ``"doublefloat"`` stores an exact two-f32 split instead of one array.
     """
     coeffs = np.asarray(coeffs, dtype=np.float64) if isinstance(
         coeffs, np.ndarray
@@ -107,7 +114,7 @@ def build_hierarchy(
     chain = [(tuple(offsets), coeffs)]
     for _ in range(int(gridlevels) - 1):
         offs, cfs = chain[-1]
-        c_offs, c_cfs = galerkin_rap_stencil(offs, cfs)
+        c_offs, c_cfs = galerkin_rap_stencil(offs, cfs, transfer=transfer)
         chain.append((tuple(c_offs), c_cfs))
 
     # coarsest: dense inverse (factored once in f64; in-cycle solve = matmul)
@@ -140,14 +147,22 @@ def build_hierarchy(
             )
         )
 
+    fine64 = np.asarray(chain[0][1], dtype=np.float64)
+    fine_offs = tuple(chain[0][0])
     rdtype = residual_dtype or dtype
-    fine_hi = StencilOperator(
-        jnp.asarray(np.asarray(chain[0][1], dtype=np.float64), dtype=rdtype),
-        tuple(chain[0][0]),
-    )
+    fine_hi_lo = None
+    if rdtype == "doublefloat":
+        hi = fine64.astype(np.float32)
+        lo = (fine64 - hi.astype(np.float64)).astype(np.float32)
+        fine_hi = StencilOperator(jnp.asarray(hi), fine_offs)
+        fine_hi_lo = StencilOperator(jnp.asarray(lo), fine_offs)
+    else:
+        fine_hi = StencilOperator(jnp.asarray(fine64, dtype=rdtype), fine_offs)
     return Hierarchy(
         levels=tuple(levels),
         coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
         fine_hi=fine_hi,
+        fine_hi_lo=fine_hi_lo,
         stats=tuple(stats),
+        transfer=transfer,
     )

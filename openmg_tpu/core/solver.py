@@ -11,11 +11,13 @@ Two entry points:
 
 Convergence loop (defect-correction form): because every cycle component is
 linear, ``V(b, x) == x + V(b − A x, 0)``, so the driver iterates
-``x ← x + V(r, 0)`` with the residual ``r = b − A x`` evaluated in
-``residual_dtype`` (float64) while the V-cycle itself runs in ``dtype``
-(float32).  This is classical iterative refinement and is how an f32 TPU
-cycle reaches the reference's 1e-10 absolute tolerance (SURVEY.md §7
-"Hard parts", Plan A).
+``x ← x + V(r, 0)`` with the residual ``r = b − A x`` evaluated at high
+precision while the V-cycle itself runs in f32.  This is classical
+iterative refinement and is how an f32 TPU cycle reaches the reference's
+1e-10 absolute tolerance (SURVEY.md §7 "Hard parts", Plan A).  The
+TPU-native high-precision mode is **double-float** (two-f32 compensated
+arithmetic, :mod:`openmg_tpu.ops.doublefloat`) — no float64 ever touches
+the device; plain float64/float32 modes exist for CPU and debugging.
 """
 
 from __future__ import annotations
@@ -32,22 +34,33 @@ from openmg_tpu.core.config import ProblemConfig, SolverConfig
 from openmg_tpu.core.cycle import v_cycle
 from openmg_tpu.core.hierarchy import Hierarchy, build_hierarchy
 from openmg_tpu.models.poisson import poisson_stencil, stencil_from_csr
+from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
 from openmg_tpu.ops.stencil import apply as stencil_apply
+from openmg_tpu.ops.stencil import shift
+from openmg_tpu.ops.transfer import TRANSFERS
 
 __all__ = ["Solver", "setup", "solve", "mg_solve"]
 
 
-def _resolve_dtype(name):
-    if name is None:
+def _resolve_residual_mode(name, warn: bool = True):
+    """Resolve a residual_dtype config value to 'doublefloat' or a dtype."""
+    if name in (None, ""):
         return None
+    if name == "doublefloat":
+        return "doublefloat"
+    if name == "auto":
+        if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+            return jnp.dtype(jnp.float64)
+        return "doublefloat"
     dt = jnp.dtype(name)
     if dt == jnp.float64 and not jax.config.jax_enable_x64:
-        warnings.warn(
-            "residual_dtype=float64 requested but jax_enable_x64 is off; "
-            "falling back to float32 (1e-10 absolute tolerances may be "
-            "unreachable)",
-            stacklevel=3,
-        )
+        if warn:
+            warnings.warn(
+                "residual_dtype=float64 requested but jax_enable_x64 is off; "
+                "falling back to float32 (1e-10 absolute tolerances may be "
+                "unreachable). Consider residual_dtype='doublefloat'.",
+                stacklevel=3,
+            )
         return jnp.dtype(jnp.float32)
     return dt
 
@@ -66,9 +79,15 @@ class Solver:
         self.hierarchy = hierarchy
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
-        self.residual_dtype = _resolve_dtype(config.residual_dtype) or self.dtype
+        self.residual_mode = (
+            _resolve_residual_mode(config.residual_dtype, warn=False) or self.dtype
+        )
+        if self.residual_mode == "doublefloat" and hierarchy.fine_hi_lo is None:
+            raise ValueError(
+                "hierarchy was not built with residual_dtype='doublefloat'"
+            )
 
-        cyc = functools.partial(
+        self._cycle = functools.partial(
             _cycle_step,
             pre=config.pre_iterations,
             post=config.post_iterations,
@@ -76,8 +95,6 @@ class Solver:
             omega=config.omega,
             cycle_dtype=self.dtype,
         )
-        self._cycle = cyc  # _cycle_step is already jitted
-        self._residual = _residual_norm
 
     @property
     def grid_shape(self):
@@ -93,11 +110,19 @@ class Solver:
         cfg = self.config
         h = self.hierarchy
         shape = self.grid_shape
-        b = jnp.asarray(np.asarray(b).reshape(shape), dtype=self.residual_dtype)
-        if x0 is None:
-            x = jnp.zeros(shape, dtype=self.residual_dtype)
+        df = self.residual_mode == "doublefloat"
+        b_np = np.asarray(b, dtype=np.float64).reshape(shape)
+        x0_np = (
+            np.zeros(shape)
+            if x0 is None
+            else np.asarray(x0, dtype=np.float64).reshape(shape)
+        )
+        if df:
+            b_dev = df_split(b_np)
+            x = df_split(x0_np)
         else:
-            x = jnp.asarray(np.asarray(x0).reshape(shape), dtype=self.residual_dtype)
+            b_dev = jnp.asarray(b_np, dtype=self.residual_mode)
+            x = jnp.asarray(x0_np, dtype=self.residual_mode)
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
         history = []
@@ -105,7 +130,13 @@ class Solver:
         converged = False
         t_start = time.perf_counter()
         for k in range(limit + 1):
-            r, rnorm = self._residual(h.fine_hi, b, x)
+            if df:
+                r_pair, rnorm = _residual_norm_df(
+                    h.fine_hi, h.fine_hi_lo, b_dev, x
+                )
+                r = r_pair[0]
+            else:
+                r, rnorm = _residual_norm(h.fine_hi, b_dev, x)
             rnorm = float(rnorm)
             history.append(rnorm)
             if cfg.verbose:
@@ -117,10 +148,15 @@ class Solver:
                 break
             t0 = time.perf_counter()
             e = self._cycle(h, r)
-            x = x + e.astype(self.residual_dtype)
-            x.block_until_ready()
+            if df:
+                x = df_add_f32(x, e)
+                x[0].block_until_ready()
+            else:
+                x = x + e.astype(self.residual_mode)
+                x.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
 
+        x_out = df_merge(x) if df else np.asarray(x, dtype=np.float64)
         info = {
             "residual_norms": history,
             "cycles": len(history) - 1,
@@ -128,10 +164,12 @@ class Solver:
             "final_norm": history[-1],
             "gridlevels": h.num_levels,
             "level_stats": h.stats,
+            "transfer": h.transfer.name,
+            "residual_mode": "doublefloat" if df else str(self.residual_mode),
             "cycle_times_s": cycle_times,
             "solve_time_s": time.perf_counter() - t_start,
         }
-        return x, info
+        return jnp.asarray(x_out), info
 
 
 @functools.partial(
@@ -156,10 +194,23 @@ def _cycle_step(hierarchy, r, *, pre, post, smoother, omega, cycle_dtype):
 def _residual_norm(fine_hi, b, x):
     r = b - stencil_apply(fine_hi, x)
     # sqrt-of-sum rather than jnp.linalg.norm: norm lowers to a dot, and
-    # float64 dots hit an emulated-f64 MXU path whose compile time is
-    # pathological on the TPU relay backend (measured ~4 min for a length-64
+    # float64 dots hit an emulated-f64 MXU path whose backend compile time
+    # is pathological on the TPU relay (measured ~4 min for a length-64
     # vector); the elementwise reduction compiles in <1 s and is exact.
     return r, jnp.sqrt(jnp.sum(r * r))
+
+
+@jax.jit
+def _residual_norm_df(A_hi, A_lo, b_df, x_df):
+    """Double-float residual ``r = b − A x`` with compensated accumulation;
+    all-f32 VPU code (the TPU-native 1e-10 path)."""
+    acc = b_df
+    for k, off in enumerate(A_hi.offsets):
+        xs = (shift(x_df[0], off), shift(x_df[1], off))
+        term = df_mul((A_hi.coeffs[k], A_lo.coeffs[k]), xs)
+        acc = df_sub(acc, term)
+    rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
+    return acc, rn
 
 
 def setup(problem, config: SolverConfig | None = None) -> Solver:
@@ -180,12 +231,18 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
         offsets, coeffs = poisson_stencil(problem)
     else:
         raise TypeError(f"unsupported problem spec: {type(problem)}")
+    if config.transfer not in TRANSFERS:
+        raise ValueError(
+            f"unknown transfer {config.transfer!r}; choose from {sorted(TRANSFERS)}"
+        )
+    rmode = _resolve_residual_mode(config.residual_dtype) or jnp.dtype(config.dtype)
     hierarchy = build_hierarchy(
         offsets,
         coeffs,
         gridlevels=config.gridlevels,
         dtype=jnp.dtype(config.dtype),
-        residual_dtype=_resolve_dtype(config.residual_dtype) or jnp.dtype(config.dtype),
+        residual_dtype=rmode,
+        transfer=TRANSFERS[config.transfer],
         max_dense_coarse=config.max_dense_coarse,
         min_coarse_dim=config.min_coarse_dim,
     )

@@ -1,94 +1,182 @@
-"""Galerkin coarsening ``A_c = R A Rᵀ`` in stencil form (components R3, T6).
+"""Galerkin coarsening ``A_c = R A P`` in stencil form (components R3, T6).
 
 The reference computes the triple product with scipy SpGEMM at every level
-(SURVEY.md §3.1).  For regular grids with the aggregation restriction this
-product has a closed structured form, computed here with pure strided array
-ops (numpy or JAX — no SpGEMM, no index lists), which is what makes 512³
-setup feasible (SURVEY.md §7 "Hard parts: SpGEMM at 512³"):
+(SURVEY.md §3.1).  For regular grids with separable tap transfers
+(:mod:`openmg_tpu.ops.transfer`) the product has a closed structured form,
+computed here with pure strided array ops (numpy or JAX — no SpGEMM, no
+index lists), which is what makes 512³ setup feasible (SURVEY.md §7 "Hard
+parts: SpGEMM at 512³").
 
-With R[c, f] = w for f ∈ agg(c) (w = 1/2^d over coarsened dims), fine point
-f = 2I + p (parity p ∈ {0,1}^d, coarse cell I) and fine offset o,
+The contraction is applied one axis at a time (transfers are tensor
+products).  For one axis with restriction taps ``(p, wr)`` and prolongation
+taps ``(q, wp)``:
 
-    A_c[I, I + D] += w² · A[f, f + o]      where D = floor((p + o) / 2).
+    A'[I, I + D]  +=  wr · wp · A[f, f + o]      at  f = 2I + p,
+    whenever p + o_axis − q is even,  with  D = (p + o_axis − q) / 2
 
-Each (offset o, parity p) pair contributes one strided slice of the fine
-coefficient grid, reshaped to the coarse grid and accumulated at coarse
-offset D.  Fine-grid boundary truncation (zero coefficients) propagates
-automatically, so no masking is needed.  Agreement with scipy SpGEMM on the
-explicit matrices is proven in tests/test_galerkin.py.
+and all other axes' offsets pass through unchanged.  Sampling
+``A[2I + p]`` is a parity slice plus a coarse shift; fine-grid boundary
+truncation (zero coefficients) propagates automatically.  Contributions
+that would target out-of-domain coarse columns are zeroed at the end to
+maintain the stencil invariant (coeff = 0 where row + offset leaves the
+grid) — these correspond to prolongation taps of nonexistent coarse cells,
+consistent with the transfer ops' zero-fill.
+
+Agreement with scipy SpGEMM on the explicit matrices is proven in
+tests/test_galerkin.py for both the aggregate and linear specs.
 """
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 
 from openmg_tpu.ops.stencil import StencilOperator
-from openmg_tpu.ops.transfer import coarse_shape
+from openmg_tpu.ops.transfer import AGGREGATE, Transfer, coarse_shape
 
 __all__ = ["galerkin_rap_stencil", "galerkin_rap"]
 
 
-def galerkin_rap_stencil(offsets, coeffs, prune: bool = True):
+def _xp(arr):
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _parity_slice(x, pm: int, axis: int):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(pm, None, 2)
+    return x[tuple(idx)]
+
+
+def _shift_axis_np(xp, x, s: int, axis: int):
+    """z[i] = x[i + s] along axis, zero-filled, numpy/jnp-agnostic."""
+    if s == 0:
+        return x
+    n = x.shape[axis]
+    z = xp.zeros_like(x)
+    src = [slice(None)] * x.ndim
+    dst = [slice(None)] * x.ndim
+    if s > 0:
+        dst[axis] = slice(0, n - s)
+        src[axis] = slice(s, n)
+    else:
+        dst[axis] = slice(-s, n)
+        src[axis] = slice(0, n + s)
+    if xp is np:
+        z[tuple(dst)] = x[tuple(src)]
+        return z
+    return z.at[tuple(dst)].set(x[tuple(src)])
+
+
+def _rap_axis(offsets, coeffs, axis: int, r_taps, p_taps):
+    """Contract one grid axis by factor 2 with the given taps."""
+    xp = _xp(coeffs)
+    acc: dict = {}
+    for k, off in enumerate(offsets):
+        ck = coeffs[k]
+        o = off[axis]
+        for p, wr in r_taps:
+            pm = p % 2
+            s = (p - pm) // 2
+            samp = _shift_axis_np(xp, _parity_slice(ck, pm, axis), s, axis)
+            for q, wp in p_taps:
+                num = p + o - q
+                if num % 2:
+                    continue
+                D = num // 2
+                newoff = tuple(
+                    D if a == axis else off[a] for a in range(len(off))
+                )
+                term = samp * (wr * wp)
+                if newoff in acc:
+                    acc[newoff] = acc[newoff] + term
+                else:
+                    acc[newoff] = term
+    new_offsets = list(acc.keys())
+    stacked = xp.stack([acc[D] for D in new_offsets])
+    return new_offsets, stacked
+
+
+def _zero_oob(xp, offsets, coeffs):
+    """Enforce the stencil invariant: coeff[k][i] = 0 where i + off OOB."""
+    shape = coeffs.shape[1:]
+    out = []
+    for k, off in enumerate(offsets):
+        c = coeffs[k]
+        for axis, o in enumerate(off):
+            n = shape[axis]
+            if o > 0:
+                idx = [slice(None)] * len(shape)
+                idx[axis] = slice(max(0, n - o), n)
+                c = (
+                    _assign_zero_np(c, tuple(idx))
+                    if xp is np
+                    else c.at[tuple(idx)].set(0)
+                )
+            elif o < 0:
+                idx = [slice(None)] * len(shape)
+                idx[axis] = slice(0, min(n, -o))
+                c = (
+                    _assign_zero_np(c, tuple(idx))
+                    if xp is np
+                    else c.at[tuple(idx)].set(0)
+                )
+        out.append(c)
+    return xp.stack(out)
+
+
+def _assign_zero_np(c, idx):
+    c = c.copy()
+    c[idx] = 0
+    return c
+
+
+def galerkin_rap_stencil(
+    offsets, coeffs, transfer: Transfer = AGGREGATE, prune: bool = True
+):
     """Structured RAP on raw ``(offsets, coeffs)`` arrays (numpy or jax).
 
     Returns coarse ``(offsets, coeffs)``.  ``prune`` drops coarse offsets
     whose coefficient grid is identically zero (requires concrete values —
     setup runs eagerly, outside jit).
     """
-    if isinstance(coeffs, np.ndarray):
-        xp = np
-    else:
-        import jax.numpy as xp  # device arrays: RAP runs on-device
+    xp = _xp(coeffs)
     shape = tuple(coeffs.shape[1:])
     d = len(shape)
     axes = [a for a in range(d) if shape[a] > 1]
     if any(shape[a] % 2 for a in axes):
         raise ValueError(f"all dims > 1 must be even to coarsen, got {shape}")
-    cshape = coarse_shape(shape)
-    w2 = (1.0 / (2 ** len(axes))) ** 2
 
-    parities = list(
-        itertools.product(*[(0, 1) if shape[a] > 1 else (0,) for a in range(d)])
-    )
-    acc: dict = {}
-    for k, off in enumerate(offsets):
-        ck = coeffs[k]
-        for p in parities:
-            # coarse offset D = floor((p + o)/2); source stride-2 slice at parity p
-            D = tuple(
-                (p[a] + off[a]) // 2 if shape[a] > 1 else off[a] for a in range(d)
-            )
-            sl = tuple(
-                slice(p[a], None, 2) if shape[a] > 1 else slice(None)
-                for a in range(d)
-            )
-            contrib = ck[sl]
-            if D in acc:
-                acc[D] = acc[D] + contrib
-            else:
-                acc[D] = contrib
+    cur_offsets = [tuple(o) for o in offsets]
+    cur = coeffs
+    for a in axes:
+        cur_offsets, cur = _rap_axis(cur_offsets, cur, a, transfer.r_taps, transfer.p_taps)
+    cur = _zero_oob(xp, cur_offsets, cur)
+    cur = cur.astype(coeffs.dtype)
+    assert tuple(cur.shape[1:]) == coarse_shape(shape)
 
-    c_offsets = sorted(acc.keys())
+    if prune:
+        keep = [i for i in range(len(cur_offsets)) if bool((cur[i] != 0).any())]
+        if not keep:  # degenerate all-zero operator; keep the diagonal slot
+            keep = [0]
+        cur_offsets = [cur_offsets[i] for i in keep]
+        cur = cur[np.asarray(keep)] if xp is np else cur[list(keep)]
+
     # diagonal-first convention
     zero = (0,) * d
-    if zero in c_offsets:
-        c_offsets.remove(zero)
-        c_offsets = [zero] + c_offsets
-    stacked = xp.stack([acc[D] for D in c_offsets]) * w2
-    stacked = stacked.astype(coeffs.dtype)
-    assert tuple(stacked.shape[1:]) == cshape
-    if prune:
-        keep = [i for i in range(len(c_offsets)) if bool((stacked[i] != 0).any())]
-        c_offsets = [c_offsets[i] for i in keep]
-        stacked = stacked[np.asarray(keep)] if isinstance(stacked, np.ndarray) else stacked[
-            list(keep)
-        ]
-    return tuple(c_offsets), stacked
+    order = sorted(range(len(cur_offsets)), key=lambda i: (cur_offsets[i] != zero, cur_offsets[i]))
+    cur_offsets = [cur_offsets[i] for i in order]
+    cur = cur[np.asarray(order)] if xp is np else cur[list(order)]
+    return tuple(cur_offsets), cur
 
 
-def galerkin_rap(op: StencilOperator, prune: bool = True) -> StencilOperator:
+def galerkin_rap(
+    op: StencilOperator, transfer: Transfer = AGGREGATE, prune: bool = True
+) -> StencilOperator:
     """Structured Galerkin coarsening of a :class:`StencilOperator`."""
-    c_offsets, c_coeffs = galerkin_rap_stencil(op.offsets, op.coeffs, prune=prune)
+    c_offsets, c_coeffs = galerkin_rap_stencil(
+        op.offsets, op.coeffs, transfer=transfer, prune=prune
+    )
     return StencilOperator(c_coeffs, tuple(c_offsets))

@@ -22,6 +22,9 @@ import scipy.sparse.linalg as spla
 
 __all__ = [
     "aggregate_restriction",
+    "taps_matrix_1d",
+    "weighted_restriction",
+    "weighted_prolongation",
     "restrictions",
     "coarsen_A",
     "max_gridlevels",
@@ -79,6 +82,41 @@ def aggregate_restriction(shape) -> sp.csr_matrix:
         (vals, (rows, cols)), shape=(int(np.prod(cshape)), int(np.prod(shape)))
     ).tocsr()
     return R
+
+
+def taps_matrix_1d(n: int, taps) -> sp.csr_matrix:
+    """1D tap operator: ``M[c, 2c + t] += w`` for each tap ``(t, w)``,
+    shape ``(n/2, n)``, out-of-range taps dropped (zero-fill)."""
+    m = n // 2
+    rows, cols, vals = [], [], []
+    for c in range(m):
+        for t, w in taps:
+            f = 2 * c + t
+            if 0 <= f < n:
+                rows.append(c)
+                cols.append(f)
+                vals.append(w)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+
+
+def _kron_over_axes(shape, taps):
+    M = None
+    for s in shape:
+        Ms = sp.identity(1, format="csr") if s == 1 else taps_matrix_1d(s, taps)
+        M = Ms if M is None else sp.kron(M, Ms, format="csr")
+    return M.tocsr()
+
+
+def weighted_restriction(shape, r_taps) -> sp.csr_matrix:
+    """Explicit separable restriction matrix (tensor product of 1D taps) —
+    oracle for :func:`openmg_tpu.ops.transfer.restrict`."""
+    return _kron_over_axes(tuple(int(s) for s in shape), r_taps)
+
+
+def weighted_prolongation(shape, p_taps) -> sp.csr_matrix:
+    """Explicit separable prolongation matrix: transpose structure of the
+    taps (``P[2c+t, c] += w``) — oracle for transfer.prolong."""
+    return _kron_over_axes(tuple(int(s) for s in shape), p_taps).T.tocsr()
 
 
 def restrictions(shape, gridlevels: int):

@@ -90,6 +90,48 @@ def test_mixed_precision_refinement_reaches_1e10():
     assert info["final_norm"] < 1e-10
 
 
+def test_doublefloat_refinement_reaches_1e10():
+    """TPU-native path: f32 cycle + two-f32 compensated residual reaches
+    1e-10 with no float64 on device (works identically on CPU)."""
+    shape = (32, 32)
+    b = rhs_random(shape, seed=6)
+    cfg = SolverConfig(
+        smoother="rbgs",
+        dtype="float32",
+        residual_dtype="doublefloat",
+        cycles=300,
+        gridlevels=4,
+        max_dense_coarse=64,
+    )
+    x, info = solve(shape, b, cfg)
+    assert info["residual_mode"] == "doublefloat"
+    assert info["converged"], info["residual_norms"][-3:]
+    assert info["final_norm"] < 1e-10
+    np.testing.assert_allclose(np.asarray(x).ravel(), _direct(shape, b), atol=1e-8)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (16, 16, 16)])
+def test_linear_transfer_converges_much_faster(shape):
+    b = rhs_random(shape, seed=7)
+    kw = dict(
+        smoother="rbgs",
+        cycles=300,
+        gridlevels=4,
+        max_dense_coarse=2048,
+        residual_dtype="doublefloat",
+    )
+    _, info_agg = solve(shape, b, SolverConfig(transfer="aggregate", **kw))
+    _, info_lin = solve(shape, b, SolverConfig(transfer="linear", **kw))
+    assert info_lin["converged"]
+    assert info_lin["cycles"] <= 30
+    assert info_lin["cycles"] * 3 < info_agg["cycles"]
+
+
+def test_unknown_transfer_rejected():
+    with pytest.raises(ValueError):
+        solve((8, 8), rhs_random((8, 8)), SolverConfig(transfer="cubic"))
+
+
 def test_mg_solve_reference_api():
     """Reference-style call: scipy A + parameters dict, flat x out."""
     shape = (16, 16)
