@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.json metric surface, component T13).
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "smoother_spmv_nnz_per_s", "value": N, "unit": "nnz/s",
+     "vs_baseline": N / 8e10}
+
+- metric: sustained smoother-SpMV throughput of the fused weighted-Jacobi
+  sweep (the V-cycle's dominant kernel, ~90% of solve FLOPs/bytes —
+  SURVEY.md §3.2) on the finest level of the 3D Poisson benchmark problem,
+  single chip.
+- vs_baseline: fraction of the BASELINE.md roofline speed-of-light,
+  8×10¹⁰ nnz/s (f32 CSR SpMV at ≈12 B/nnz on a 1 TB/s-HBM chip).  The
+  reference publishes no numbers (BASELINE.json "published": {}), so the
+  roofline is the contract; values > 1 are possible because the DIA/stencil
+  format moves fewer bytes per nnz than CSR.
+
+Supporting metrics (cycle time, iterations to 1e-10, per-level stats,
+measured HBM bandwidth) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_stream_bandwidth(n_bytes=2 << 30):
+    """Measured HBM copy bandwidth (read+write) for roofline context."""
+    import jax
+    import jax.numpy as jnp
+
+    n = n_bytes // 8  # f32 in + out
+    x = jnp.ones((n,), dtype=jnp.float32)
+    f = jax.jit(lambda v: v * 1.0000001)
+    float(jnp.sum(f(x)))  # compile + real sync (see _sync note below)
+    reps = 10
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(reps):
+        y = f(y)
+    float(jnp.sum(y))  # force a host readback: block_until_ready() does
+    # not reliably block through the remote TPU relay (measured "5 TB/s")
+    dt = (time.perf_counter() - t0) / reps
+    return 2 * n * 4 / dt  # read + write bytes per second
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openmg_tpu import SolverConfig, setup
+    from openmg_tpu.models.poisson import rhs_random
+    from openmg_tpu.ops.smoothers import jacobi
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    shape = (256, 256, 256) if on_tpu else (64, 64, 64)
+    log(f"backend={backend} shape={shape}")
+
+    t0 = time.perf_counter()
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        residual_dtype="doublefloat",
+        cycles=60,
+    )
+    solver = setup(shape, cfg)
+    log(f"setup: {time.perf_counter() - t0:.1f}s "
+        f"levels={[s[0] for s in solver.hierarchy.stats]}")
+
+    # --- primary metric: fused Jacobi smoother sweep throughput ----------
+    # NB: the operator MUST be a jit *argument* — closing over the coeffs
+    # would inline ~0.5 GB as an HLO constant (and overflow the remote-
+    # compile relay's request limit with HTTP 413)
+    L = solver.hierarchy.levels[0]
+    nnz = solver.hierarchy.stats[0][2]
+    b = jnp.asarray(rhs_random(shape, seed=0), dtype=jnp.float32)
+    x = jnp.zeros_like(b)
+    sweeps = 10
+
+    smoother_fn = jax.jit(
+        lambda A, inv_d, bb, xx: jacobi(A, inv_d, bb, xx, sweeps, 2.0 / 3.0)
+    )
+    float(jnp.sum(smoother_fn(L.A, L.inv_diag, b, x)))  # compile + sync
+    reps = 5
+    t0 = time.perf_counter()
+    x_out = x
+    for _ in range(reps):
+        x_out = smoother_fn(L.A, L.inv_diag, b, x_out)
+    float(jnp.sum(x_out))  # host readback = real synchronization
+    dt = (time.perf_counter() - t0) / (reps * sweeps)
+    nnz_per_s = nnz / dt
+    log(f"jacobi sweep: {dt * 1e3:.3f} ms, nnz={nnz}, {nnz_per_s:.3e} nnz/s")
+
+    # --- supporting metrics ---------------------------------------------
+    try:
+        bw = measure_stream_bandwidth()
+        log(f"stream bandwidth: {bw / 1e9:.0f} GB/s")
+    except Exception as e:  # pragma: no cover
+        bw = None
+        log(f"stream bandwidth measurement failed: {e}")
+
+    # normalized rhs: the reference's threshold is an absolute ‖r‖₂, so a
+    # scale-invariant benchmark solves with ‖b‖ = 1 (at 256³ an
+    # unnormalized random b has ‖b‖ ≈ 4096, putting the absolute 1e-10
+    # target at relative 2e-14 — below any f32-pair or even f64 floor)
+    bnp = rhs_random(shape, seed=1)
+    bnp /= np.linalg.norm(bnp.ravel())
+    xs, info = solver.solve(bnp)
+    steady = info["cycle_times_s"][1:] or info["cycle_times_s"]
+    log(
+        f"solve: cycles={info['cycles']} final={info['final_norm']:.2e} "
+        f"converged={info['converged']} "
+        f"cycle_time={np.mean(steady) * 1e3:.1f}ms"
+    )
+
+    result = {
+        "metric": "smoother_spmv_nnz_per_s",
+        "value": float(nnz_per_s),
+        "unit": "nnz/s",
+        "vs_baseline": float(nnz_per_s / 8e10),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

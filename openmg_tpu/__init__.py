@@ -35,6 +35,8 @@ from openmg_tpu.models.poisson import (
     stencil_to_csr,
 )
 from openmg_tpu.ops.stencil import StencilOperator
+from openmg_tpu.parallel.dist import DistributedSolver, distributed_setup
+from openmg_tpu.parallel.mesh import initialize_distributed, make_mesh
 
 __version__ = "0.1.0"
 
@@ -53,4 +55,8 @@ __all__ = [
     "stencil_from_csr",
     "stencil_to_csr",
     "StencilOperator",
+    "DistributedSolver",
+    "distributed_setup",
+    "make_mesh",
+    "initialize_distributed",
 ]

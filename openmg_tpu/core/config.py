@@ -60,7 +60,8 @@ class SolverConfig:
     transfer: str = "aggregate"  # "aggregate" (reference-parity) | "linear"
     dtype: str = "float32"
     residual_dtype: Optional[str] = "auto"
-    max_dense_coarse: int = 4096
+    setup_dtype: str = "float32"  # RAP-chain precision (see build_hierarchy)
+    max_dense_coarse: int = 512
     min_coarse_dim: int = 1
     verbose: bool = False
 
@@ -84,6 +85,7 @@ class SolverConfig:
             "transfer",
             "dtype",
             "residual_dtype",
+            "setup_dtype",
             "max_dense_coarse",
             "min_coarse_dim",
         ):

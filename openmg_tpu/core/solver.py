@@ -220,25 +220,24 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
     assembled), or an ``(offsets, coeffs)`` stencil pair.
     """
     config = config or SolverConfig()
-    if isinstance(problem, ProblemConfig):
-        shape = problem.shape
-        offsets, coeffs = poisson_stencil(shape)
-    elif isinstance(problem, tuple) and len(problem) == 2 and not all(
-        isinstance(s, (int, np.integer)) for s in problem
-    ):
-        offsets, coeffs = problem
-    elif isinstance(problem, tuple):
-        offsets, coeffs = poisson_stencil(problem)
-    else:
-        raise TypeError(f"unsupported problem spec: {type(problem)}")
     if config.transfer not in TRANSFERS:
         raise ValueError(
             f"unknown transfer {config.transfer!r}; choose from {sorted(TRANSFERS)}"
         )
     rmode = _resolve_residual_mode(config.residual_dtype) or jnp.dtype(config.dtype)
-    hierarchy = build_hierarchy(
-        offsets,
-        coeffs,
+    # Poisson problems on an accelerator: assemble + coarsen on the device
+    # (host numpy and relay transfers are the setup bottleneck here; the
+    # f32 assembly is exact — Poisson coefficients are small integers)
+    shape_like = (
+        problem.shape
+        if isinstance(problem, ProblemConfig)
+        else problem
+        if isinstance(problem, tuple)
+        and all(isinstance(s, (int, np.integer)) for s in problem)
+        else None
+    )
+    on_accel = jax.default_backend() != "cpu"
+    common = dict(
         gridlevels=config.gridlevels,
         dtype=jnp.dtype(config.dtype),
         residual_dtype=rmode,
@@ -246,6 +245,22 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
         max_dense_coarse=config.max_dense_coarse,
         min_coarse_dim=config.min_coarse_dim,
     )
+    if shape_like is not None and on_accel:
+        from openmg_tpu.core.hierarchy import build_hierarchy_device
+        from openmg_tpu.models.poisson import poisson_stencil_device
+
+        offsets, coeffs = poisson_stencil_device(shape_like)
+        hierarchy = build_hierarchy_device(offsets, coeffs, **common)
+    else:
+        if shape_like is not None:
+            offsets, coeffs = poisson_stencil(shape_like, dtype=np.float32)
+        elif isinstance(problem, tuple) and len(problem) == 2:
+            offsets, coeffs = problem
+        else:
+            raise TypeError(f"unsupported problem spec: {type(problem)}")
+        hierarchy = build_hierarchy(
+            offsets, coeffs, setup_dtype=config.setup_dtype, **common
+        )
     return Solver(hierarchy, config)
 
 

@@ -91,22 +91,45 @@ def poisson_stencil(shape, dtype=np.float64):
     shape = tuple(int(s) for s in shape)
     d = len(shape)
     offsets = poisson_offsets(d)
-    coeffs = np.zeros((len(offsets),) + shape, dtype=dtype)
+    coeffs = np.empty((len(offsets),) + shape, dtype=dtype)
     coeffs[0] = 2.0 * d
+    coeffs[1:] = -1.0
+    # zero out rows whose neighbor at `off` leaves the domain (only the
+    # boundary slices are touched — single full pass above, cheap fixups)
     for k, off in enumerate(offsets[1:], start=1):
-        c = -np.ones(shape, dtype=dtype)
-        # zero out rows whose neighbor at `off` leaves the domain
         for axis, o in enumerate(off):
-            if o == -1:
-                idx = [slice(None)] * d
-                idx[axis] = slice(0, 1)
-                c[tuple(idx)] = 0.0
-            elif o == 1:
-                idx = [slice(None)] * d
-                idx[axis] = slice(shape[axis] - 1, shape[axis])
-                c[tuple(idx)] = 0.0
-        coeffs[k] = c
+            if o == 0:
+                continue
+            idx = [slice(None)] * d
+            idx[axis] = slice(0, 1) if o == -1 else slice(shape[axis] - 1, None)
+            coeffs[(k,) + tuple(idx)] = 0.0
     return offsets, coeffs
+
+
+def poisson_stencil_device(shape, dtype=None):
+    """Device-side analytic assembly of :func:`poisson_stencil` (T2 fast
+    path): builds the (2d+1)-point stencil directly in jnp — no host
+    megabytes, no host→device transfer (which is slow and variable through
+    this environment's TPU relay).  Bit-identical to the numpy assembly
+    (tested)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    shape = tuple(int(s) for s in shape)
+    d = len(shape)
+    offsets = poisson_offsets(d)
+    ks = []
+    ks.append(jnp.full(shape, 2.0 * d, dtype=dtype))
+    for off in offsets[1:]:
+        c = jnp.full(shape, -1.0, dtype=dtype)
+        for axis, o in enumerate(off):
+            if o == 0:
+                continue
+            idx = [slice(None)] * d
+            idx[axis] = slice(0, 1) if o == -1 else slice(shape[axis] - 1, None)
+            c = c.at[tuple(idx)].set(0.0)
+        ks.append(c)
+    return offsets, jnp.stack(ks)
 
 
 def stencil_to_csr(offsets, coeffs) -> sp.csr_matrix:

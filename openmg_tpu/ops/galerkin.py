@@ -71,7 +71,11 @@ def _shift_axis_np(xp, x, s: int, axis: int):
 
 
 def _rap_axis(offsets, coeffs, axis: int, r_taps, p_taps):
-    """Contract one grid axis by factor 2 with the given taps."""
+    """Contract one grid axis by factor 2 with the given taps.
+
+    The numpy path accumulates in place (this host's numpy is memory-
+    bandwidth-bound; every avoided full-array pass matters at 512³ setup).
+    """
     xp = _xp(coeffs)
     acc: dict = {}
     for k, off in enumerate(offsets):
@@ -80,7 +84,7 @@ def _rap_axis(offsets, coeffs, axis: int, r_taps, p_taps):
         for p, wr in r_taps:
             pm = p % 2
             s = (p - pm) // 2
-            samp = _shift_axis_np(xp, _parity_slice(ck, pm, axis), s, axis)
+            samp = None  # computed lazily: some (p) rows have no valid q
             for q, wp in p_taps:
                 num = p + o - q
                 if num % 2:
@@ -89,48 +93,57 @@ def _rap_axis(offsets, coeffs, axis: int, r_taps, p_taps):
                 newoff = tuple(
                     D if a == axis else off[a] for a in range(len(off))
                 )
-                term = samp * (wr * wp)
-                if newoff in acc:
-                    acc[newoff] = acc[newoff] + term
+                if samp is None:
+                    samp = _shift_axis_np(
+                        xp, _parity_slice(ck, pm, axis), s, axis
+                    )
+                w = wr * wp
+                if xp is np:
+                    if newoff in acc:
+                        np.add(acc[newoff], samp * w, out=acc[newoff])
+                    else:
+                        acc[newoff] = samp * w  # first term owns the buffer
                 else:
-                    acc[newoff] = term
+                    term = samp * w
+                    acc[newoff] = acc[newoff] + term if newoff in acc else term
     new_offsets = list(acc.keys())
     stacked = xp.stack([acc[D] for D in new_offsets])
     return new_offsets, stacked
 
 
 def _zero_oob(xp, offsets, coeffs):
-    """Enforce the stencil invariant: coeff[k][i] = 0 where i + off OOB."""
+    """Enforce the stencil invariant: coeff[k][i] = 0 where i + off OOB.
+
+    The numpy path mutates ``coeffs`` in place (callers pass freshly
+    stacked arrays); only thin boundary slices are touched.
+    """
     shape = coeffs.shape[1:]
+    if xp is np:
+        for k, off in enumerate(offsets):
+            for axis, o in enumerate(off):
+                n = shape[axis]
+                if o == 0:
+                    continue
+                idx = [slice(None)] * len(shape)
+                idx[axis] = (
+                    slice(max(0, n - o), n) if o > 0 else slice(0, min(n, -o))
+                )
+                coeffs[(k,) + tuple(idx)] = 0
+        return coeffs
     out = []
     for k, off in enumerate(offsets):
         c = coeffs[k]
         for axis, o in enumerate(off):
             n = shape[axis]
-            if o > 0:
-                idx = [slice(None)] * len(shape)
-                idx[axis] = slice(max(0, n - o), n)
-                c = (
-                    _assign_zero_np(c, tuple(idx))
-                    if xp is np
-                    else c.at[tuple(idx)].set(0)
-                )
-            elif o < 0:
-                idx = [slice(None)] * len(shape)
-                idx[axis] = slice(0, min(n, -o))
-                c = (
-                    _assign_zero_np(c, tuple(idx))
-                    if xp is np
-                    else c.at[tuple(idx)].set(0)
-                )
+            if o == 0:
+                continue
+            idx = [slice(None)] * len(shape)
+            idx[axis] = (
+                slice(max(0, n - o), n) if o > 0 else slice(0, min(n, -o))
+            )
+            c = c.at[tuple(idx)].set(0)
         out.append(c)
     return xp.stack(out)
-
-
-def _assign_zero_np(c, idx):
-    c = c.copy()
-    c[idx] = 0
-    return c
 
 
 def galerkin_rap_stencil(
@@ -154,7 +167,9 @@ def galerkin_rap_stencil(
     for a in axes:
         cur_offsets, cur = _rap_axis(cur_offsets, cur, a, transfer.r_taps, transfer.p_taps)
     cur = _zero_oob(xp, cur_offsets, cur)
-    cur = cur.astype(coeffs.dtype)
+    cur = cur.astype(coeffs.dtype, copy=False) if xp is np else cur.astype(
+        coeffs.dtype
+    )
     assert tuple(cur.shape[1:]) == coarse_shape(shape)
 
     if prune:
@@ -162,14 +177,56 @@ def galerkin_rap_stencil(
         if not keep:  # degenerate all-zero operator; keep the diagonal slot
             keep = [0]
         cur_offsets = [cur_offsets[i] for i in keep]
-        cur = cur[np.asarray(keep)] if xp is np else cur[list(keep)]
+        cur = cur[np.asarray(keep)]
 
     # diagonal-first convention
     zero = (0,) * d
     order = sorted(range(len(cur_offsets)), key=lambda i: (cur_offsets[i] != zero, cur_offsets[i]))
     cur_offsets = [cur_offsets[i] for i in order]
-    cur = cur[np.asarray(order)] if xp is np else cur[list(order)]
+    cur = cur[np.asarray(order)]
     return tuple(cur_offsets), cur
+
+
+def rap_output_offsets(offsets, shape, transfer: Transfer = AGGREGATE):
+    """Static (host-side) computation of the coarse offset list the RAP
+    chain will produce, via a structural dry run on a tiny dummy grid with
+    the same dims>1 pattern — used to jit the device RAP (whose output
+    offsets must be known at trace time)."""
+    dummy_shape = tuple(4 if s > 1 else 1 for s in shape)
+    dummy = np.ones((len(offsets),) + dummy_shape, dtype=np.float32)
+    offs, _ = galerkin_rap_stencil(offsets, dummy, transfer=transfer, prune=False)
+    return offs
+
+
+def galerkin_rap_device(offsets, coeffs, transfer: Transfer = AGGREGATE):
+    """Device-side jitted Galerkin RAP (setup-on-device fast path).
+
+    Host↔device traffic through this environment's TPU relay is slow and
+    variable (5–400 MB/s measured), and host numpy is bandwidth-starved
+    (2 vCPUs), so 256³+ hierarchies are coarsened on the chip: one jitted
+    program per level, with the (static) output offset list precomputed by
+    :func:`rap_output_offsets` and identically-zero offsets pruned by a
+    single vectorized device reduction afterwards.
+    """
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    offsets = tuple(tuple(o) for o in offsets)
+    shape = tuple(int(s) for s in coeffs.shape[1:])
+    out_offsets = rap_output_offsets(offsets, shape, transfer)
+
+    @_ft.partial(jax.jit, static_argnames=())
+    def run(c):
+        offs, cur = galerkin_rap_stencil(offsets, c, transfer=transfer, prune=False)
+        assert tuple(offs) == tuple(out_offsets)
+        return cur
+
+    cur = run(coeffs)
+    nz = np.asarray(jnp.any(cur != 0, axis=tuple(range(1, cur.ndim))))
+    keep = [i for i in range(len(out_offsets)) if nz[i]] or [0]
+    return tuple(out_offsets[i] for i in keep), cur[np.asarray(keep)]
 
 
 def galerkin_rap(

@@ -1,0 +1,453 @@
+"""Distributed multigrid: row-partitioned levels over a 1D device mesh
+(components T9 row/block partition, T10 halo exchange, T11 coarse
+redistribution, T16 collective substrate).
+
+Design (SURVEY.md §3.4 / §7):
+
+* Every level's grid arrays are partitioned along grid axis 0 across the
+  mesh axis ``"x"`` (contiguous row blocks per device) while the level is
+  large enough; the static *partition plan* decides per level.
+* Smoothing/residual/SpMV at partitioned levels exchange one halo plane
+  each way via ``lax.ppermute`` (:mod:`openmg_tpu.parallel.halo`);
+  intergrid transfers use halo taps along axis 0 and purely local ops on
+  the trailing axes.
+* When a level's per-device block would become too small (or lose factor-2
+  divisibility), the cycle *redistributes*: the restricted residual is
+  ``all_gather``-ed and all coarser levels run replicated — every device
+  executes the identical coarse computation (deterministic), and the
+  correction is sliced back to local blocks on the way up (T11).
+* Norms are ``psum`` reductions.  The whole distributed V-cycle is one
+  ``shard_map``-ped jitted program per hierarchy.
+
+The partitioned solve matches the single-device solve to fp tolerance
+(tests/test_parallel.py); elementwise arithmetic is identical, only
+reduction order differs (norms).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from openmg_tpu.core.config import MeshConfig, SolverConfig
+from openmg_tpu.core.hierarchy import Hierarchy
+from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
+from openmg_tpu.ops.smoothers import smooth as smooth_plain
+from openmg_tpu.ops.stencil import StencilOperator, diag_index
+from openmg_tpu.ops.transfer import (
+    Transfer,
+    _prolong_axis,
+    _restrict_axis,
+)
+from openmg_tpu.parallel.halo import (
+    apply_ext,
+    halo_exchange,
+    prolong_axis0_ext,
+    restrict_axis0_ext,
+    shifted_ext,
+)
+from openmg_tpu.parallel.mesh import make_mesh
+
+__all__ = ["partition_plan", "DistributedSolver", "distributed_setup"]
+
+
+def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
+    """Static per-level partitioned/replicated decision (T11 policy table).
+
+    Level ℓ stays partitioned while all of: the previous level is
+    partitioned, ``shape0 % n_dev == 0``, the local block is at least
+    ``min_rows_per_device`` rows, and the local block extent is even (so
+    factor-2 restriction never splits an aggregation cell across devices).
+    The coarsest level is always replicated (its direct solve is a small
+    dense matmul executed identically everywhere).
+    """
+    plan = []
+    prev = True
+    for i, shape in enumerate(shapes):
+        s0 = int(shape[0])
+        ok = (
+            prev
+            and n_dev > 1
+            and s0 % n_dev == 0
+            and s0 // n_dev >= min_rows_per_device
+            and (s0 // n_dev) % 2 == 0
+        )
+        if i == len(shapes) - 1:
+            ok = False
+        plan.append(ok)
+        prev = ok
+    return tuple(plan)
+
+
+# ---------------------------------------------------------------------------
+# partitioned-level ops (run inside shard_map on local blocks)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_part(
+    name, coeffs, offsets, inv_diag, b, x, iterations, omega, mask, axis_name, n_dev
+):
+    di = diag_index(offsets)
+    om = jnp.asarray(omega, dtype=x.dtype)
+    if name == "jacobi":
+        for _ in range(iterations):
+            x_ext = halo_exchange(x, axis_name, n_dev)
+            x = x + om * inv_diag * (b - apply_ext(coeffs, offsets, x_ext))
+        return x
+    if name == "rbgs":
+        for _ in range(iterations):
+            for m in (mask, ~mask):
+                x_ext = halo_exchange(x, axis_name, n_dev)
+                off_sum = None
+                for k, off in enumerate(offsets):
+                    if k == di:
+                        continue
+                    t = coeffs[k] * shifted_ext(x_ext, off)
+                    off_sum = t if off_sum is None else off_sum + t
+                xn = inv_diag * (b - off_sum)
+                x = jnp.where(m, xn, x)
+        return x
+    raise ValueError(f"unknown smoother {name!r}")
+
+
+def _restrict_dist(r, transfer, axes, part_here, axis_name, n_dev):
+    """Restrict over ``axes``; axis 0 via halo taps when partitioned."""
+    out = r
+    for a in axes:
+        if a == 0 and part_here:
+            r_ext = halo_exchange(out, axis_name, n_dev)
+            out = restrict_axis0_ext(r_ext, transfer.r_taps)
+        else:
+            out = _restrict_axis(out, a, transfer.r_taps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the distributed V-cycle (one shard_map program)
+# ---------------------------------------------------------------------------
+
+
+def _dist_v_cycle(
+    level_data,  # tuple per level: (coeffs, inv_diag, mask) — local blocks
+    coarse_inv,
+    r,
+    *,
+    offsets_per_level,
+    coarsened_axes,  # per level: axes halved between level and level+1
+    plan,
+    transfer: Transfer,
+    pre,
+    post,
+    smoother,
+    omega,
+    axis_name,
+    n_dev,
+):
+    num_levels = len(level_data)
+
+    def smooth_at(level, b, x, iters):
+        if iters <= 0:
+            return x
+        coeffs, inv_diag, mask = level_data[level]
+        offs = offsets_per_level[level]
+        if plan[level]:
+            return _smooth_part(
+                smoother, coeffs, offs, inv_diag, b, x, iters, omega, mask,
+                axis_name, n_dev,
+            )
+        op = StencilOperator(coeffs, offs)
+        return smooth_plain(smoother, op, inv_diag, b, x, iters, omega, mask)
+
+    def residual_at(level, b, x):
+        coeffs, _, _ = level_data[level]
+        offs = offsets_per_level[level]
+        if plan[level]:
+            x_ext = halo_exchange(x, axis_name, n_dev)
+            return b - apply_ext(coeffs, offs, x_ext)
+        return b - StencilOperator(coeffs, offs).apply(x)
+
+    def vc(level, b, x):
+        if level == num_levels - 1:
+            xc = (coarse_inv @ b.reshape(-1)).reshape(b.shape)
+            return xc
+        x = smooth_at(level, b, x, pre)
+        rr = residual_at(level, b, x)
+        axes = coarsened_axes[level]
+        bc = _restrict_dist(rr, transfer, axes, plan[level], axis_name, n_dev)
+        if plan[level] and not plan[level + 1]:
+            # redistribution: gather the (still locally-blocked) coarse rhs
+            bc = lax.all_gather(bc, axis_name, axis=0, tiled=True)
+        ec = vc(level + 1, bc, jnp.zeros_like(bc))
+        # prolongation back up
+        if plan[level]:
+            if plan[level + 1]:
+                up = ec
+                for a in reversed(axes):
+                    if a == 0:
+                        u_ext = halo_exchange(up, axis_name, n_dev)
+                        up = prolong_axis0_ext(u_ext, transfer.p_taps)
+                    else:
+                        up = _prolong_axis(up, a, transfer.p_taps)
+            else:
+                # coarse is replicated/full: prolong fully, slice local rows
+                up = ec
+                for a in reversed(axes):
+                    up = _prolong_axis(up, a, transfer.p_taps)
+                idx = lax.axis_index(axis_name)
+                local = up.shape[0] // n_dev
+                up = lax.dynamic_slice_in_dim(up, idx * local, local, axis=0)
+        else:
+            up = ec
+            for a in reversed(axes):
+                up = _prolong_axis(up, a, transfer.p_taps)
+        x = x + up
+        x = smooth_at(level, b, x, post)
+        return x
+
+    return vc(0, r, jnp.zeros_like(r))
+
+
+def _dist_residual_df(
+    c_hi, c_lo, b_hi, b_lo, x_hi, x_lo, *, offsets, axis_name, n_dev, part
+):
+    if part:
+        xh = halo_exchange(x_hi, axis_name, n_dev)
+        xl = halo_exchange(x_lo, axis_name, n_dev)
+        samples = [(shifted_ext(xh, o), shifted_ext(xl, o)) for o in offsets]
+    else:
+        from openmg_tpu.ops.stencil import shift
+
+        samples = [(shift(x_hi, o), shift(x_lo, o)) for o in offsets]
+    acc = (b_hi, b_lo)
+    for k, xs in enumerate(samples):
+        term = df_mul((c_hi[k], c_lo[k]), xs)
+        acc = df_sub(acc, term)
+    nsq = jnp.sum(acc[0] * acc[0])
+    if n_dev > 1:
+        nsq = lax.psum(nsq, axis_name)
+    return acc[0], acc[1], jnp.sqrt(nsq)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+class DistributedSolver:
+    """Multi-device solver: same contract as :class:`~openmg_tpu.core.
+    solver.Solver`, with every array row-partitioned over the mesh.
+
+    Only the ``doublefloat`` residual mode is offered on the distributed
+    path (it is the TPU-native one; see core/solver.py).
+    """
+
+    def __init__(
+        self,
+        hierarchy: Hierarchy,
+        config: SolverConfig,
+        mesh_config: MeshConfig | None = None,
+    ):
+        if hierarchy.fine_hi_lo is None:
+            raise ValueError(
+                "distributed solver requires residual_dtype='doublefloat'"
+            )
+        self.config = config
+        self.mesh_config = mesh_config or MeshConfig()
+        self.mesh = make_mesh(
+            self.mesh_config.n_devices, self.mesh_config.axis_name
+        )
+        self.axis_name = self.mesh_config.axis_name
+        self.n_dev = self.mesh.devices.size
+        shapes = [s[0] for s in hierarchy.stats]
+        self.plan = partition_plan(
+            shapes, self.n_dev, self.mesh_config.min_rows_per_device
+        )
+        if not self.plan[0] and self.n_dev > 1:
+            raise ValueError(
+                f"finest level shape {shapes[0]} cannot be row-partitioned "
+                f"over {self.n_dev} devices (axis 0 must divide evenly with "
+                f">= {2 * self.mesh_config.min_rows_per_device} rows/device)"
+            )
+        self.grid_shape = shapes[0]
+        self.offsets_per_level = tuple(l.A.offsets for l in hierarchy.levels)
+        self.coarsened_axes = tuple(
+            tuple(
+                a
+                for a in range(len(shapes[i]))
+                if shapes[i + 1][a] * 2 == shapes[i][a]
+            )
+            for i in range(len(shapes) - 1)
+        ) + ((),)
+        self.transfer = hierarchy.transfer
+        self.stats = hierarchy.stats
+
+        # shard the hierarchy per the plan
+        def put(arr, partitioned, grid_axis):
+            if partitioned:
+                spec = [None] * arr.ndim
+                spec[grid_axis] = self.axis_name
+                sh = NamedSharding(self.mesh, P(*spec))
+            else:
+                sh = NamedSharding(self.mesh, P())
+            return jax.device_put(arr, sh)
+
+        self.level_data = tuple(
+            (
+                put(l.A.coeffs, self.plan[i], 1),
+                put(l.inv_diag, self.plan[i], 0),
+                put(l.mask, self.plan[i], 0),
+            )
+            for i, l in enumerate(hierarchy.levels)
+        )
+        self.coarse_inv = put(hierarchy.coarse_inv, False, 0)
+        self.fine_hi = put(hierarchy.fine_hi.coeffs, self.plan[0], 1)
+        self.fine_lo = put(hierarchy.fine_hi_lo.coeffs, self.plan[0], 1)
+
+        self._build_programs()
+
+    def _specs(self):
+        """shard_map PartitionSpecs mirroring the data layout."""
+        gd = len(self.grid_shape)
+
+        def spec(partitioned, grid_axis, ndim):
+            if not partitioned:
+                return P()
+            s = [None] * ndim
+            s[grid_axis] = self.axis_name
+            return P(*s)
+
+        level_specs = tuple(
+            (
+                spec(self.plan[i], 1, gd + 1),
+                spec(self.plan[i], 0, gd),
+                spec(self.plan[i], 0, gd),
+            )
+            for i in range(len(self.level_data))
+        )
+        vec = spec(self.plan[0], 0, gd)
+        return level_specs, vec
+
+    def _build_programs(self):
+        cfg = self.config
+        level_specs, vec = self._specs()
+        mesh = self.mesh
+
+        cycle_impl = functools.partial(
+            _dist_v_cycle,
+            offsets_per_level=self.offsets_per_level,
+            coarsened_axes=self.coarsened_axes,
+            plan=self.plan,
+            transfer=self.transfer,
+            pre=cfg.pre_iterations,
+            post=cfg.post_iterations,
+            smoother=cfg.smoother,
+            omega=cfg.omega,
+            axis_name=self.axis_name,
+            n_dev=self.n_dev,
+        )
+        self._cycle = jax.jit(
+            jax.shard_map(
+                cycle_impl,
+                mesh=mesh,
+                in_specs=(level_specs, P(), vec),
+                out_specs=vec,
+            )
+        )
+
+        res_impl = functools.partial(
+            _dist_residual_df,
+            offsets=self.offsets_per_level[0],
+            axis_name=self.axis_name,
+            n_dev=self.n_dev,
+            part=self.plan[0],
+        )
+        coef_spec = level_specs[0][0]
+        self._residual = jax.jit(
+            jax.shard_map(
+                res_impl,
+                mesh=mesh,
+                in_specs=(coef_spec, coef_spec, vec, vec, vec, vec),
+                out_specs=(vec, vec, P()),
+            )
+        )
+
+    def _put_vec(self, arr):
+        _, vec = self._specs()
+        return jax.device_put(arr, NamedSharding(self.mesh, vec))
+
+    def solve(self, b, x0=None):
+        cfg = self.config
+        shape = self.grid_shape
+        b_np = np.asarray(b, dtype=np.float64).reshape(shape)
+        x0_np = (
+            np.zeros(shape)
+            if x0 is None
+            else np.asarray(x0, dtype=np.float64).reshape(shape)
+        )
+        b_hi, b_lo = df_split(b_np)
+        b_hi, b_lo = self._put_vec(b_hi), self._put_vec(b_lo)
+        x_hi, x_lo = df_split(x0_np)
+        x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
+
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        history, cycle_times = [], []
+        converged = False
+        t_start = time.perf_counter()
+        for k in range(limit + 1):
+            r_hi, r_lo, rnorm = self._residual(
+                self.fine_hi, self.fine_lo, b_hi, b_lo, x_hi, x_lo
+            )
+            rnorm = float(rnorm)
+            history.append(rnorm)
+            if cfg.verbose:
+                print(f"[openmg_tpu/dist] cycle {k}: ‖r‖ = {rnorm:.3e}")
+            if rnorm < cfg.threshold:
+                converged = True
+                break
+            if k == limit:
+                break
+            t0 = time.perf_counter()
+            e = self._cycle(self.level_data, self.coarse_inv, r_hi)
+            x_hi, x_lo = df_add_f32((x_hi, x_lo), e)
+            x_hi.block_until_ready()
+            cycle_times.append(time.perf_counter() - t0)
+
+        x_out = df_merge((x_hi, x_lo))
+        info = {
+            "residual_norms": history,
+            "cycles": len(history) - 1,
+            "converged": converged,
+            "final_norm": history[-1],
+            "gridlevels": len(self.level_data),
+            "level_stats": self.stats,
+            "transfer": self.transfer.name,
+            "residual_mode": "doublefloat",
+            "partition_plan": self.plan,
+            "n_devices": self.n_dev,
+            "cycle_times_s": cycle_times,
+            "solve_time_s": time.perf_counter() - t_start,
+        }
+        return jnp.asarray(x_out), info
+
+
+def distributed_setup(
+    problem,
+    config: SolverConfig | None = None,
+    mesh_config: MeshConfig | None = None,
+) -> DistributedSolver:
+    """Build a :class:`DistributedSolver` (native API, multi-device)."""
+    from openmg_tpu.core.solver import setup
+
+    import dataclasses
+
+    config = config or SolverConfig(residual_dtype="doublefloat")
+    if config.residual_dtype != "doublefloat":
+        config = dataclasses.replace(config, residual_dtype="doublefloat")
+    base = setup(problem, config)
+    return DistributedSolver(base.hierarchy, config, mesh_config)

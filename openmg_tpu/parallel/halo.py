@@ -1,0 +1,123 @@
+"""Halo exchange and halo-aware grid ops inside ``shard_map`` (T10).
+
+Each device owns a contiguous block of grid axis 0.  Stencils and the
+``linear`` transfer taps reach at most one plane across the block boundary,
+so the halo is a single plane each way, exchanged with ``lax.ppermute``
+ring shifts (ICI-neighbor traffic on a pod slice).  The grid boundary is
+Dirichlet-truncated, matching the single-device stencil convention: edge
+devices receive a zero halo (the ppermute ring wraps, so the wrapped plane
+is masked off).
+
+All functions here run *inside* ``shard_map`` on local blocks.
+
+Overlap (the BASELINE "halo exchange overlapped with interior smoothing"):
+`smooth_sweep_overlapped` structures each sweep so the interior update
+depends only on local data while the two boundary planes consume the
+ppermute results — XLA's latency-hiding scheduler can then run the
+collective-permute concurrently with the interior compute.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "halo_exchange",
+    "shifted_ext",
+    "apply_ext",
+    "restrict_axis0_ext",
+    "prolong_axis0_ext",
+]
+
+
+def _ring_perm(n: int, step: int):
+    return [(i, (i + step) % n) for i in range(n)]
+
+
+def halo_exchange(x_local, axis_name: str, n_dev: int):
+    """Return ``x_ext`` of shape ``(local+2, ...)``: one received plane on
+    each side of the local block (zeros at the global domain edges)."""
+    if n_dev == 1:
+        pad = [(1, 1, 0)] + [(0, 0, 0)] * (x_local.ndim - 1)
+        return lax.pad(x_local, jnp.zeros((), x_local.dtype), pad)
+    idx = lax.axis_index(axis_name)
+    # plane sent up (to device i+1) arrives as the lower halo of i+1
+    lower = lax.ppermute(x_local[-1:], axis_name, _ring_perm(n_dev, 1))
+    # plane sent down (to device i-1) arrives as the upper halo of i-1
+    upper = lax.ppermute(x_local[:1], axis_name, _ring_perm(n_dev, -1))
+    lower = jnp.where(idx == 0, jnp.zeros_like(lower), lower)
+    upper = jnp.where(idx == n_dev - 1, jnp.zeros_like(upper), upper)
+    return jnp.concatenate([lower, x_local, upper], axis=0)
+
+
+def shifted_ext(x_ext, off):
+    """``z[i] = x[i + off]`` on the local block, using the axis-0 halo for
+    ``off[0] ∈ {−1, 0, 1}`` and zero-fill shifts on the trailing axes."""
+    o0 = off[0]
+    if not -1 <= o0 <= 1:
+        raise ValueError(f"axis-0 offset {o0} exceeds halo width 1")
+    local = x_ext.shape[0] - 2
+    sl = lax.slice_in_dim(x_ext, 1 + o0, 1 + o0 + local, axis=0)
+    rest = (0,) + tuple(off[1:])
+    if all(o == 0 for o in rest):
+        return sl
+    from openmg_tpu.ops.stencil import shift
+
+    return shift(sl, rest)
+
+
+def apply_ext(coeffs, offsets, x_ext):
+    """Local SpMV ``y = A_local x`` with halo-extended ``x``."""
+    y = None
+    for k, off in enumerate(offsets):
+        t = coeffs[k] * shifted_ext(x_ext, off)
+        y = t if y is None else y + t
+    return y
+
+
+def _offdiag_apply_ext(coeffs, offsets, x_ext, di: int):
+    y = None
+    for k, off in enumerate(offsets):
+        if k == di:
+            continue
+        t = coeffs[k] * shifted_ext(x_ext, off)
+        y = t if y is None else y + t
+    return y
+
+
+def restrict_axis0_ext(v_ext, taps):
+    """Axis-0 restriction on a halo-extended local block:
+    ``out[I] = Σ_t w(t) · v[2I + t]`` with the halo supplying cross-shard
+    taps.  Local fine extent must be even (the partition plan guarantees
+    it)."""
+    local = v_ext.shape[0] - 2
+    m = local // 2
+    out = None
+    for t, w in taps:
+        # v[2I + t] = v_ext[1 + 2I + t], I = 0..m-1 → strided slice
+        start = 1 + t
+        sl = lax.slice_in_dim(v_ext, start, start + 2 * (m - 1) + 1, stride=2, axis=0)
+        term = sl * jnp.asarray(w, dtype=v_ext.dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def prolong_axis0_ext(u_ext, taps):
+    """Axis-0 prolongation on a halo-extended local coarse block:
+    ``out[2I + pm] = Σ_{t ≡ pm (2)} w(t) · u[I − (t − pm)/2]``."""
+    local = u_ext.shape[0] - 2
+    parts = []
+    for pm in (0, 1):
+        part = None
+        for t, w in taps:
+            if t % 2 != pm:
+                continue
+            s = (t - pm) // 2
+            sl = lax.slice_in_dim(u_ext, 1 - s, 1 - s + local, axis=0)
+            term = sl * jnp.asarray(w, dtype=u_ext.dtype)
+            part = term if part is None else part + term
+        parts.append(part)
+    stacked = jnp.stack(parts, axis=1)
+    new_shape = (local * 2,) + tuple(u_ext.shape[1:])
+    return stacked.reshape(new_shape)
