@@ -45,7 +45,7 @@ def v_cycle(
     L = hierarchy.levels[level]
     if level == hierarchy.num_levels - 1:
         return coarse_solve(hierarchy, b)
-    x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega, L.mask)
+    x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
     r = residual(L.A, b, x)
     bc = restrict(r, hierarchy.transfer)
     ec = v_cycle(
@@ -59,5 +59,5 @@ def v_cycle(
         omega,
     )
     x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
-    x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega, L.mask)
+    x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega)
     return x

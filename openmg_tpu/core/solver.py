@@ -203,11 +203,12 @@ def _residual_norm(fine_hi, b, x):
 @jax.jit
 def _residual_norm_df(A_hi, A_lo, b_df, x_df):
     """Double-float residual ``r = b − A x`` with compensated accumulation;
-    all-f32 VPU code (the TPU-native 1e-10 path)."""
+    all-f32 VPU code (the TPU-native 1e-10 path).  Works for both varying
+    and constant operators (scalar coefficients broadcast)."""
     acc = b_df
     for k, off in enumerate(A_hi.offsets):
         xs = (shift(x_df[0], off), shift(x_df[1], off))
-        term = df_mul((A_hi.coeffs[k], A_lo.coeffs[k]), xs)
+        term = df_mul((A_hi.coeff(k), A_lo.coeff(k)), xs)
         acc = df_sub(acc, term)
     rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
     return acc, rn
@@ -236,7 +237,6 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
         and all(isinstance(s, (int, np.integer)) for s in problem)
         else None
     )
-    on_accel = jax.default_backend() != "cpu"
     common = dict(
         gridlevels=config.gridlevels,
         dtype=jnp.dtype(config.dtype),
@@ -245,22 +245,25 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
         max_dense_coarse=config.max_dense_coarse,
         min_coarse_dim=config.min_coarse_dim,
     )
-    if shape_like is not None and on_accel:
-        from openmg_tpu.core.hierarchy import build_hierarchy_device
-        from openmg_tpu.models.poisson import poisson_stencil_device
+    if shape_like is not None:
+        from openmg_tpu.core.hierarchy import build_hierarchy_structured
+        from openmg_tpu.models.poisson import poisson_offsets
 
-        offsets, coeffs = poisson_stencil_device(shape_like)
-        hierarchy = build_hierarchy_device(offsets, coeffs, **common)
-    else:
-        if shape_like is not None:
-            offsets, coeffs = poisson_stencil(shape_like, dtype=np.float32)
-        elif isinstance(problem, tuple) and len(problem) == 2:
-            offsets, coeffs = problem
-        else:
-            raise TypeError(f"unsupported problem spec: {type(problem)}")
+        d = len(shape_like)
+        fine_values = [2.0 * d] + [-1.0] * (2 * d)
+        hierarchy = build_hierarchy_structured(
+            poisson_offsets(d),
+            fine_values,
+            shape_like,
+            **common,
+        )
+    elif isinstance(problem, tuple) and len(problem) == 2:
+        offsets, coeffs = problem
         hierarchy = build_hierarchy(
             offsets, coeffs, setup_dtype=config.setup_dtype, **common
         )
+    else:
+        raise TypeError(f"unsupported problem spec: {type(problem)}")
     return Solver(hierarchy, config)
 
 

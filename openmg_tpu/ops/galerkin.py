@@ -51,23 +51,36 @@ def _parity_slice(x, pm: int, axis: int):
 
 
 def _shift_axis_np(xp, x, s: int, axis: int):
-    """z[i] = x[i + s] along axis, zero-filled, numpy/jnp-agnostic."""
+    """z[i] = x[i + s] along axis, zero-filled, numpy/jnp-agnostic.
+
+    The jnp path uses pad+slice (NOT zeros+scatter: XLA lowers scatters
+    poorly on CPU and tries to constant-fold them for minutes at 256³).
+    """
     if s == 0:
         return x
     n = x.shape[axis]
-    z = xp.zeros_like(x)
-    src = [slice(None)] * x.ndim
-    dst = [slice(None)] * x.ndim
-    if s > 0:
-        dst[axis] = slice(0, n - s)
-        src[axis] = slice(s, n)
-    else:
-        dst[axis] = slice(-s, n)
-        src[axis] = slice(0, n + s)
     if xp is np:
+        z = np.zeros_like(x)
+        src = [slice(None)] * x.ndim
+        dst = [slice(None)] * x.ndim
+        if s > 0:
+            dst[axis] = slice(0, n - s)
+            src[axis] = slice(s, n)
+        else:
+            dst[axis] = slice(-s, n)
+            src[axis] = slice(0, n + s)
         z[tuple(dst)] = x[tuple(src)]
         return z
-    return z.at[tuple(dst)].set(x[tuple(src)])
+    from jax import lax
+    import jax.numpy as jnp
+
+    pad_cfg = [(0, 0, 0)] * x.ndim
+    pad_cfg[axis] = (max(0, -s), max(0, s), 0)
+    xpad = lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
+    start = [0] * x.ndim
+    start[axis] = max(0, s)
+    limits = [st + nn for st, nn in zip(start, x.shape)]
+    return lax.slice(xpad, start, limits)
 
 
 def _rap_axis(offsets, coeffs, axis: int, r_taps, p_taps):
@@ -130,19 +143,22 @@ def _zero_oob(xp, offsets, coeffs):
                 )
                 coeffs[(k,) + tuple(idx)] = 0
         return coeffs
+    # jnp path: multiply by an iota-derived in-domain mask (scatter-free)
+    import jax
+    import jax.numpy as jnp
+
     out = []
     for k, off in enumerate(offsets):
         c = coeffs[k]
+        mask = None
         for axis, o in enumerate(off):
             n = shape[axis]
             if o == 0:
                 continue
-            idx = [slice(None)] * len(shape)
-            idx[axis] = (
-                slice(max(0, n - o), n) if o > 0 else slice(0, min(n, -o))
-            )
-            c = c.at[tuple(idx)].set(0)
-        out.append(c)
+            i = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+            cond = i < n - o if o > 0 else i >= -o
+            mask = cond if mask is None else mask & cond
+        out.append(c if mask is None else c * mask.astype(c.dtype))
     return xp.stack(out)
 
 

@@ -11,38 +11,40 @@ TPU build uses the two order-free variants named by BASELINE:
   (2d+1)-point) this is exactly Gauss–Seidel in the red-black ordering.
 
 These are the jnp reference implementations; XLA already fuses each sweep
-into a single HBM-streaming loop nest.  The Pallas fused kernels
-(:mod:`openmg_tpu.ops.kernels`) implement the same math with explicit VMEM
-tiling and are tested against these.
+into a single HBM-streaming loop nest.  The red/black parity mask is
+generated inline from broadcasted iota (XLA fuses it — index parity costs
+zero HBM traffic, where a stored bool mask would stream 1 byte/point per
+half-sweep).  The Pallas fused kernels (:mod:`openmg_tpu.ops.kernels`)
+implement the same math with explicit VMEM tiling and are tested against
+these.
 
 Iteration counts are static (Python ints), so sweeps unroll at trace time.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from openmg_tpu.ops.stencil import StencilOperator, apply, diag_index, shift
 
-__all__ = ["jacobi", "rbgs", "red_mask", "smooth"]
+__all__ = ["jacobi", "rbgs", "red_mask", "parity_mask_expr", "smooth"]
 
 
-def jacobi(
-    op: StencilOperator,
-    inv_diag,
-    b,
-    x,
-    iterations: int,
-    omega: float = 2.0 / 3.0,
-):
-    om = jnp.asarray(omega, dtype=x.dtype)
-    for _ in range(iterations):
-        x = x + om * inv_diag * (b - apply(op, x))
-    return x
+def parity_mask_expr(shape):
+    """Traced red-parity mask (True where coordinate-sum parity is even);
+    generated from iota inside the surrounding jit — no memory traffic."""
+    shape = tuple(int(s) for s in shape)
+    acc = None
+    for a in range(len(shape)):
+        par = jax.lax.broadcasted_iota(jnp.int32, shape, a) & 1
+        acc = par if acc is None else acc ^ par
+    return acc == 0
 
 
 def red_mask(shape) -> "jnp.ndarray":
-    """Boolean grid mask: True where the coordinate-sum parity is even.
+    """Materialized red/black parity mask (kept for tests/inspection; the
+    smoothers use :func:`parity_mask_expr` inline).
 
     Parity of a sum is the xor of parities — computed by broadcasting uint8
     aranges (np.indices would materialize d full int64 grids; at 256³ that
@@ -60,6 +62,20 @@ def red_mask(shape) -> "jnp.ndarray":
     return jnp.asarray(acc == 0)
 
 
+def jacobi(
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations: int,
+    omega: float = 2.0 / 3.0,
+):
+    om = jnp.asarray(omega, dtype=x.dtype)
+    for _ in range(iterations):
+        x = x + om * inv_diag * (b - apply(op, x))
+    return x
+
+
 def _offdiag_apply(op: StencilOperator, x):
     """(A − D) x : stencil apply skipping the zero offset."""
     di = diag_index(op.offsets)
@@ -67,7 +83,7 @@ def _offdiag_apply(op: StencilOperator, x):
     for k, off in enumerate(op.offsets):
         if k == di:
             continue
-        t = op.coeffs[k] * shift(x, off)
+        t = op.coeff(k) * shift(x, off)
         y = t if y is None else y + t
     return y
 
@@ -78,10 +94,10 @@ def rbgs(
     b,
     x,
     iterations: int,
-    mask,
 ):
     """Red–black Gauss–Seidel: per half-sweep, colored points are set to
     ``D⁻¹ (b − (A − D) x)`` using the other color's current values."""
+    mask = parity_mask_expr(x.shape)
     for _ in range(iterations):
         for m in (mask, ~mask):
             xn = inv_diag * (b - _offdiag_apply(op, x))
@@ -97,12 +113,11 @@ def smooth(
     x,
     iterations: int,
     omega: float,
-    mask,
 ):
     if iterations <= 0:
         return x
     if name == "jacobi":
         return jacobi(op, inv_diag, b, x, iterations, omega)
     if name == "rbgs":
-        return rbgs(op, inv_diag, b, x, iterations, mask)
+        return rbgs(op, inv_diag, b, x, iterations)
     raise ValueError(f"unknown smoother {name!r}")

@@ -38,6 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from openmg_tpu.core.config import MeshConfig, SolverConfig
 from openmg_tpu.core.hierarchy import Hierarchy
 from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
+from openmg_tpu.ops.smoothers import parity_mask_expr
 from openmg_tpu.ops.smoothers import smooth as smooth_plain
 from openmg_tpu.ops.stencil import StencilOperator, diag_index
 from openmg_tpu.ops.transfer import (
@@ -91,16 +92,20 @@ def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
 
 
 def _smooth_part(
-    name, coeffs, offsets, inv_diag, b, x, iterations, omega, mask, axis_name, n_dev
+    name, op: StencilOperator, inv_diag, b, x, iterations, omega, axis_name, n_dev
 ):
+    offsets = op.offsets
     di = diag_index(offsets)
     om = jnp.asarray(omega, dtype=x.dtype)
     if name == "jacobi":
         for _ in range(iterations):
             x_ext = halo_exchange(x, axis_name, n_dev)
-            x = x + om * inv_diag * (b - apply_ext(coeffs, offsets, x_ext))
+            x = x + om * inv_diag * (b - apply_ext(op, x_ext))
         return x
     if name == "rbgs":
+        # local parity == global parity: the partition plan guarantees an
+        # even number of local rows per device
+        mask = parity_mask_expr(x.shape)
         for _ in range(iterations):
             for m in (mask, ~mask):
                 x_ext = halo_exchange(x, axis_name, n_dev)
@@ -108,7 +113,7 @@ def _smooth_part(
                 for k, off in enumerate(offsets):
                     if k == di:
                         continue
-                    t = coeffs[k] * shifted_ext(x_ext, off)
+                    t = op.coeff(k) * shifted_ext(x_ext, off)
                     off_sum = t if off_sum is None else off_sum + t
                 xn = inv_diag * (b - off_sum)
                 x = jnp.where(m, xn, x)
@@ -133,12 +138,19 @@ def _restrict_dist(r, transfer, axes, part_here, axis_name, n_dev):
 # ---------------------------------------------------------------------------
 
 
+def _make_op(coeff_data, offsets, const: bool, local_shape):
+    if const:
+        return StencilOperator(None, offsets, coeff_data, tuple(local_shape))
+    return StencilOperator(coeff_data, offsets)
+
+
 def _dist_v_cycle(
-    level_data,  # tuple per level: (coeffs, inv_diag, mask) — local blocks
+    level_data,  # tuple per level: (coeff_data, inv_diag) — local blocks
     coarse_inv,
     r,
     *,
     offsets_per_level,
+    const_plan,  # per level: constant-stencil storage?
     coarsened_axes,  # per level: axes halved between level and level+1
     plan,
     transfer: Transfer,
@@ -151,26 +163,29 @@ def _dist_v_cycle(
 ):
     num_levels = len(level_data)
 
+    def op_at(level, vec_shape):
+        coeff_data, _ = level_data[level]
+        return _make_op(
+            coeff_data, offsets_per_level[level], const_plan[level], vec_shape
+        )
+
     def smooth_at(level, b, x, iters):
         if iters <= 0:
             return x
-        coeffs, inv_diag, mask = level_data[level]
-        offs = offsets_per_level[level]
+        _, inv_diag = level_data[level]
+        op = op_at(level, x.shape)
         if plan[level]:
             return _smooth_part(
-                smoother, coeffs, offs, inv_diag, b, x, iters, omega, mask,
-                axis_name, n_dev,
+                smoother, op, inv_diag, b, x, iters, omega, axis_name, n_dev
             )
-        op = StencilOperator(coeffs, offs)
-        return smooth_plain(smoother, op, inv_diag, b, x, iters, omega, mask)
+        return smooth_plain(smoother, op, inv_diag, b, x, iters, omega)
 
     def residual_at(level, b, x):
-        coeffs, _, _ = level_data[level]
-        offs = offsets_per_level[level]
+        op = op_at(level, x.shape)
         if plan[level]:
             x_ext = halo_exchange(x, axis_name, n_dev)
-            return b - apply_ext(coeffs, offs, x_ext)
-        return b - StencilOperator(coeffs, offs).apply(x)
+            return b - apply_ext(op, x_ext)
+        return b - op.apply(x)
 
     def vc(level, b, x):
         if level == num_levels - 1:
@@ -214,8 +229,21 @@ def _dist_v_cycle(
 
 
 def _dist_residual_df(
-    c_hi, c_lo, b_hi, b_lo, x_hi, x_lo, *, offsets, axis_name, n_dev, part
+    c_hi,
+    c_lo,
+    b_hi,
+    b_lo,
+    x_hi,
+    x_lo,
+    *,
+    offsets,
+    axis_name,
+    n_dev,
+    part,
 ):
+    def coeff(data, k):
+        return data[k]  # (K,) scalar row or (K, *grid) block — both index k
+
     if part:
         xh = halo_exchange(x_hi, axis_name, n_dev)
         xl = halo_exchange(x_lo, axis_name, n_dev)
@@ -226,7 +254,7 @@ def _dist_residual_df(
         samples = [(shift(x_hi, o), shift(x_lo, o)) for o in offsets]
     acc = (b_hi, b_lo)
     for k, xs in enumerate(samples):
-        term = df_mul((c_hi[k], c_lo[k]), xs)
+        term = df_mul((coeff(c_hi, k), coeff(c_lo, k)), xs)
         acc = df_sub(acc, term)
     nsq = jnp.sum(acc[0] * acc[0])
     if n_dev > 1:
@@ -276,6 +304,7 @@ class DistributedSolver:
             )
         self.grid_shape = shapes[0]
         self.offsets_per_level = tuple(l.A.offsets for l in hierarchy.levels)
+        self.const_plan = tuple(l.A.is_constant for l in hierarchy.levels)
         self.coarsened_axes = tuple(
             tuple(
                 a
@@ -287,7 +316,8 @@ class DistributedSolver:
         self.transfer = hierarchy.transfer
         self.stats = hierarchy.stats
 
-        # shard the hierarchy per the plan
+        # shard the hierarchy per the plan (constant-stencil levels carry a
+        # tiny replicated (K,) value vector and a scalar inverse diagonal)
         def put(arr, partitioned, grid_axis):
             if partitioned:
                 spec = [None] * arr.ndim
@@ -297,17 +327,26 @@ class DistributedSolver:
                 sh = NamedSharding(self.mesh, P())
             return jax.device_put(arr, sh)
 
+        def coeff_data(op, partitioned):
+            if op.is_constant:
+                return put(op.values, False, 0)
+            return put(op.coeffs, partitioned, 1)
+
         self.level_data = tuple(
             (
-                put(l.A.coeffs, self.plan[i], 1),
-                put(l.inv_diag, self.plan[i], 0),
-                put(l.mask, self.plan[i], 0),
+                coeff_data(l.A, self.plan[i]),
+                put(
+                    l.inv_diag,
+                    self.plan[i] and not l.A.is_constant,
+                    0,
+                ),
             )
             for i, l in enumerate(hierarchy.levels)
         )
         self.coarse_inv = put(hierarchy.coarse_inv, False, 0)
-        self.fine_hi = put(hierarchy.fine_hi.coeffs, self.plan[0], 1)
-        self.fine_lo = put(hierarchy.fine_hi_lo.coeffs, self.plan[0], 1)
+        self.fine_hi = coeff_data(hierarchy.fine_hi, self.plan[0])
+        self.fine_lo = coeff_data(hierarchy.fine_hi_lo, self.plan[0])
+        self.fine_const = hierarchy.fine_hi.is_constant
 
         self._build_programs()
 
@@ -324,9 +363,12 @@ class DistributedSolver:
 
         level_specs = tuple(
             (
-                spec(self.plan[i], 1, gd + 1),
-                spec(self.plan[i], 0, gd),
-                spec(self.plan[i], 0, gd),
+                P()
+                if self.const_plan[i]
+                else spec(self.plan[i], 1, gd + 1),
+                P()
+                if self.const_plan[i]
+                else spec(self.plan[i], 0, gd),
             )
             for i in range(len(self.level_data))
         )
@@ -341,6 +383,7 @@ class DistributedSolver:
         cycle_impl = functools.partial(
             _dist_v_cycle,
             offsets_per_level=self.offsets_per_level,
+            const_plan=self.const_plan,
             coarsened_axes=self.coarsened_axes,
             plan=self.plan,
             transfer=self.transfer,
@@ -367,7 +410,15 @@ class DistributedSolver:
             n_dev=self.n_dev,
             part=self.plan[0],
         )
-        coef_spec = level_specs[0][0]
+        gd = len(self.grid_shape)
+        if self.fine_const:
+            coef_spec = P()
+        elif self.plan[0]:
+            s = [None] * (gd + 1)
+            s[1] = self.axis_name
+            coef_spec = P(*s)
+        else:
+            coef_spec = P()
         self._residual = jax.jit(
             jax.shard_map(
                 res_impl,

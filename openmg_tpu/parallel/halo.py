@@ -67,21 +67,12 @@ def shifted_ext(x_ext, off):
     return shift(sl, rest)
 
 
-def apply_ext(coeffs, offsets, x_ext):
-    """Local SpMV ``y = A_local x`` with halo-extended ``x``."""
+def apply_ext(op, x_ext):
+    """Local SpMV ``y = A_local x`` with halo-extended ``x`` (``op`` is a
+    StencilOperator over the *local* block — varying or constant)."""
     y = None
-    for k, off in enumerate(offsets):
-        t = coeffs[k] * shifted_ext(x_ext, off)
-        y = t if y is None else y + t
-    return y
-
-
-def _offdiag_apply_ext(coeffs, offsets, x_ext, di: int):
-    y = None
-    for k, off in enumerate(offsets):
-        if k == di:
-            continue
-        t = coeffs[k] * shifted_ext(x_ext, off)
+    for k, off in enumerate(op.offsets):
+        t = op.coeff(k) * shifted_ext(x_ext, off)
         y = t if y is None else y + t
     return y
 

@@ -50,7 +50,7 @@ def test_halo_exchange_matches_global_stencil():
 
     def local_spmv(c, v):
         v_ext = halo_exchange(v, "x", n)
-        return apply_ext(c, offsets, v_ext)
+        return apply_ext(StencilOperator(c, offsets), v_ext)
 
     f = jax.jit(
         jax.shard_map(

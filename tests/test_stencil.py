@@ -72,9 +72,7 @@ def test_rbgs_matches_two_color_gs(shape):
     b = rhs_random(shape, seed=4)
     x0 = rhs_random(shape, seed=5)
 
-    got = np.asarray(
-        rbgs(op, inv_diag, jnp.asarray(b), jnp.asarray(x0), 1, mask)
-    )
+    got = np.asarray(rbgs(op, inv_diag, jnp.asarray(b), jnp.asarray(x0), 1))
 
     # oracle: permute to red-then-black ordering, one forward GS sweep
     A = poisson(shape).toarray()
@@ -89,6 +87,48 @@ def test_rbgs_matches_two_color_gs(shape):
     expected = np.empty(n)
     expected[perm] = xp
     np.testing.assert_allclose(got.ravel(), expected, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(16,), (8, 8), (4, 4, 4)])
+def test_constant_stencil_bitwise_equals_varying(shape):
+    """Constant-mode operator (scalar coefficients + zero-BC) must produce
+    bit-identical SpMV/smoother results to the materialized arrays."""
+    offsets, coeffs = poisson_stencil(shape, dtype=np.float32)
+    var_op = StencilOperator(jnp.asarray(coeffs), offsets)
+    d = len(shape)
+    vals = jnp.asarray([2.0 * d] + [-1.0] * (2 * d), dtype=jnp.float32)
+    const_op = StencilOperator(None, offsets, vals, shape)
+    assert const_op.is_constant and not var_op.is_constant
+    x = jnp.asarray(rhs_random(shape, seed=8), dtype=jnp.float32)
+    b = jnp.asarray(rhs_random(shape, seed=9), dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(apply(const_op, x)), np.asarray(apply(var_op, x))
+    )
+    inv_var = 1.0 / jnp.asarray(coeffs[0])
+    inv_const = jnp.asarray(1.0 / (2.0 * d), dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(jacobi(const_op, inv_const, b, x, 3)),
+        np.asarray(jacobi(var_op, inv_var, b, x, 3)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rbgs(const_op, inv_const, b, x, 2)),
+        np.asarray(rbgs(var_op, inv_var, b, x, 2)),
+    )
+
+
+def test_hierarchy_detects_constant_levels():
+    from openmg_tpu.core.hierarchy import build_hierarchy
+    from openmg_tpu.ops.transfer import AGGREGATE, LINEAR
+
+    offsets, coeffs = poisson_stencil((16, 16))
+    h_agg = build_hierarchy(offsets, coeffs, gridlevels=3, transfer=AGGREGATE,
+                            residual_dtype="doublefloat")
+    assert all(l.A.is_constant for l in h_agg.levels)
+    h_lin = build_hierarchy(offsets, coeffs, gridlevels=3, transfer=LINEAR,
+                            residual_dtype="doublefloat")
+    assert h_lin.levels[0].A.is_constant  # fine Poisson is constant
+    assert not h_lin.levels[1].A.is_constant  # linear RAP varies at boundary
+    assert h_lin.fine_hi.is_constant
 
 
 def test_residual():
