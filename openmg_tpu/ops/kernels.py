@@ -1,0 +1,211 @@
+"""Pallas TPU smoother kernels (components T3/T4 — the "native kernel" tier).
+
+Fused weighted-Jacobi and red–black Gauss–Seidel sweeps for 3D
+constant-coefficient stencils (the fine-level fast path; see
+:mod:`openmg_tpu.ops.stencil`).  Design:
+
+* grid over z-slabs of ``TZ`` planes; y/x stay whole inside a tile (grids
+  of interest have ny·nx ≤ 512² so a slab fits VMEM);
+* the same ``x`` array is passed three times with different BlockSpecs —
+  the aligned ``(TZ, ny, nx)`` tile plus one neighbor *plane* on each side
+  (block size 1 along z makes the block index an element index, so the
+  index map can address ``i·TZ − 1`` / ``i·TZ + TZ`` directly).  Pallas
+  auto-double-buffers all three streams, so halo traffic costs only
+  ``2/TZ`` extra reads and there is no manual DMA/semaphore code;
+* in-tile neighbor shifts along y/x are ``jnp.roll`` + iota masks
+  (register/VMEM work, no HBM traffic); Dirichlet zero boundaries come
+  from masking the first/last plane/row/lane contributions;
+* red/black parity is generated from iota plus the tile's global z offset.
+
+Generic in the offset set (any offsets with |o| ≤ 1 per axis, i.e. up to
+27-point) and in the tap values (passed through SMEM, so one compiled
+kernel serves every constant level of every hierarchy of the same shape).
+
+Correctness: tests/test_kernels.py pins agreement with the jnp smoothers
+(which are themselves pinned against scipy/permuted-GS oracles) in
+interpreter mode on CPU; scripts/tpu_smoke.py exercises the compiled path
+on the real chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["supports", "jacobi_const_3d", "rbgs_const_3d"]
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # conservative; blocks are double-buffered
+
+
+def _pick_tz(shape) -> int:
+    nz, ny, nx = shape
+    plane = ny * nx * 4
+    tz = 1
+    while (
+        tz * 2 <= nz
+        and nz % (tz * 2) == 0
+        and (3 * (tz * 2) + 2) * plane * 2 <= _VMEM_BUDGET
+    ):
+        tz *= 2
+    return tz
+
+
+def supports(offsets, shape) -> bool:
+    """Can the Pallas fast path run this operator/grid?"""
+    if len(shape) != 3:
+        return False
+    nz, ny, nx = shape
+    if nz < 2 or ny < 2 or nx < 128 or nx % 128:
+        return False
+    if any(abs(o) > 1 for off in offsets for o in off):
+        return False
+    tz = _pick_tz(shape)
+    return nz % tz == 0 and (3 * tz + 2) * ny * nx * 4 * 2 <= _VMEM_BUDGET
+
+
+def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
+    """``shift(x, off)`` restricted to the tile, zero outside the domain.
+
+    ``t``: (TZ, ny, nx) aligned tile; ``lo_plane``/``hi_plane``: (1, ny, nx)
+    neighbor planes (contents are clamped duplicates at the domain edge and
+    masked off here).
+    """
+    tz, ny, nx = shape_t
+    oz, oy, ox = off
+    if oz == 0:
+        w = t
+    elif oz == 1:
+        # w[z] = x[z+1]: planes 1..TZ-1 of t, then hi_plane
+        w = jnp.concatenate([t[1:], hi_plane], axis=0)
+        edge = jnp.where(i == gz - 1, 0.0, 1.0).astype(t.dtype)
+        zmask = 1.0 + (edge - 1.0) * (
+            jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == tz - 1
+        ).astype(t.dtype)
+        w = w * zmask
+    else:
+        w = jnp.concatenate([lo_plane, t[:-1]], axis=0)
+        edge = jnp.where(i == 0, 0.0, 1.0).astype(t.dtype)
+        zmask = 1.0 + (edge - 1.0) * (
+            jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == 0
+        ).astype(t.dtype)
+        w = w * zmask
+    if oy != 0:
+        w = jnp.roll(w, -oy, axis=1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+        m = (iy < ny - 1) if oy == 1 else (iy > 0)
+        w = w * m.astype(t.dtype)
+    if ox != 0:
+        w = jnp.roll(w, -ox, axis=2)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+        m = (ix < nx - 1) if ox == 1 else (ix > 0)
+        w = w * m.astype(t.dtype)
+    return w
+
+
+def _smoother_kernel(
+    vals_ref, t_ref, lo_ref, hi_ref, b_ref, out_ref, *, offsets, mode,
+    omega, color, tz, ny, nx, gz
+):
+    i = pl.program_id(0)
+    t = t_ref[...]
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    b = b_ref[...]
+    di = offsets.index((0, 0, 0))
+    inv_d = 1.0 / vals_ref[0, di]
+
+    acc = None
+    for k, off in enumerate(offsets):
+        if mode == "rbgs" and k == di:
+            continue
+        term = (
+            t
+            if off == (0, 0, 0)
+            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx))
+        )
+        term = vals_ref[0, k] * term
+        acc = term if acc is None else acc + term
+
+    if mode == "jacobi":
+        om = jnp.asarray(omega, dtype=t.dtype)
+        out_ref[...] = t + om * (inv_d * (b - acc))
+    else:
+        xn = inv_d * (b - acc)
+        # global parity: (i*tz + iz) + iy + ix
+        iz = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 2)
+        par = (i * tz + iz + iy + ix) & 1
+        out_ref[...] = jnp.where(par == color, xn, t)
+
+
+def _half_sweep(values, b, x, *, offsets, mode, omega, color):
+    nz, ny, nx = x.shape
+    tz = _pick_tz(x.shape)
+    gz = nz // tz
+    kern = functools.partial(
+        _smoother_kernel,
+        offsets=offsets,
+        mode=mode,
+        omega=omega,
+        color=color,
+        tz=tz,
+        ny=ny,
+        nx=nx,
+        gz=gz,
+    )
+    vals2d = values.reshape(1, -1)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        grid=(gz,),
+        in_specs=[
+            pl.BlockSpec((1, len(offsets)), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # neighbor planes: block size 1 along z → block index == element
+            # index, clamped at the domain edges (masked in-kernel)
+            pl.BlockSpec(
+                (1, ny, nx),
+                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ny, nx),
+                lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(vals2d, x, x, x, b)
+
+
+def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):
+    """Fused weighted-Jacobi sweeps (T3) for a 3D constant stencil."""
+    offsets = tuple(tuple(o) for o in offsets)
+    for _ in range(iterations):
+        x = _half_sweep(
+            values, b, x, offsets=offsets, mode="jacobi", omega=omega, color=0
+        )
+    return x
+
+
+def rbgs_const_3d(values, offsets, b, x, iterations: int):
+    """Fused red–black Gauss–Seidel sweeps (T4) for a 3D constant stencil."""
+    offsets = tuple(tuple(o) for o in offsets)
+    for _ in range(iterations):
+        for color in (0, 1):
+            x = _half_sweep(
+                values, b, x, offsets=offsets, mode="rbgs", omega=0.0,
+                color=color,
+            )
+    return x

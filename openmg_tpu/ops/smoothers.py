@@ -113,9 +113,20 @@ def smooth(
     x,
     iterations: int,
     omega: float,
+    use_pallas: bool = True,
 ):
     if iterations <= 0:
         return x
+    if use_pallas and op.is_constant:
+        from openmg_tpu.ops import kernels
+
+        if kernels.supports(op.offsets, x.shape):
+            if name == "jacobi":
+                return kernels.jacobi_const_3d(
+                    op.values, op.offsets, b, x, iterations, omega
+                )
+            if name == "rbgs":
+                return kernels.rbgs_const_3d(op.values, op.offsets, b, x, iterations)
     if name == "jacobi":
         return jacobi(op, inv_diag, b, x, iterations, omega)
     if name == "rbgs":
