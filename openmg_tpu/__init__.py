@@ -34,6 +34,14 @@ from openmg_tpu.models.poisson import (
     stencil_from_csr,
     stencil_to_csr,
 )
+from openmg_tpu.core.algebraic import AlgebraicSolver, setup_sparse
+from openmg_tpu.ops.sparse import (
+    BSRMatrix,
+    CSRMatrix,
+    ELLMatrix,
+    from_scipy,
+    to_scipy,
+)
 from openmg_tpu.ops.stencil import StencilOperator
 from openmg_tpu.parallel.dist import DistributedSolver, distributed_setup
 from openmg_tpu.parallel.mesh import initialize_distributed, make_mesh
@@ -55,6 +63,13 @@ __all__ = [
     "stencil_from_csr",
     "stencil_to_csr",
     "StencilOperator",
+    "CSRMatrix",
+    "ELLMatrix",
+    "BSRMatrix",
+    "from_scipy",
+    "to_scipy",
+    "AlgebraicSolver",
+    "setup_sparse",
     "DistributedSolver",
     "distributed_setup",
     "make_mesh",

@@ -1,0 +1,475 @@
+"""General sparse-matrix multigrid — the compatibility engine (T1 + R7).
+
+The stencil engine (:mod:`openmg_tpu.core.hierarchy`) covers every
+grid-structured operator; this module covers the rest of the reference's
+input domain: ``mg_solve(A, b, parameters)`` with an **arbitrary** sparse
+SPD matrix over the grid named by ``problemshape`` (SURVEY.md R7 — the
+reference never requires A to be a stencil, only the restriction to be
+geometric).  The algorithm is exactly the reference's (SURVEY.md §3.1/3.2):
+
+* explicit geometric restriction/prolongation matrices per level
+  (tap tensor products, :mod:`openmg_tpu.utils.oracle` builders);
+* Galerkin coarsening ``A[l+1] = R A P`` by scipy SpGEMM at setup (one-time,
+  host — SURVEY.md T6);
+* levels stored in the padded-static-nnz containers of
+  :mod:`openmg_tpu.ops.sparse` (ELL / CSR / BSR per config — T1);
+* smoothing by weighted Jacobi or multicolor Gauss–Seidel (a greedy host
+  coloring generalizes red-black to arbitrary sparsity; on parity-bipartite
+  levels it reduces to exactly two colors = RB-GS);
+* V-cycle unrolled over the static level list; dense direct coarse solve;
+* the same double-float defect-correction outer loop as the stencil engine
+  (1e-10 absolute residuals with no f64 on device).
+
+Multicolor GS uses the identity ``x_i ← x_i + (b − A x)_i / a_ii`` applied
+one color class at a time — each colored update equals the classical GS
+update because same-color points never couple, so no off-diagonal split of
+A is ever materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openmg_tpu.core.config import SolverConfig
+from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_split, df_sub
+from openmg_tpu.ops.sparse import (
+    ELLMatrix,
+    ell_from_scipy,
+    from_scipy,
+    spmv,
+    spmv_df,
+)
+from openmg_tpu.ops.transfer import TRANSFERS
+from openmg_tpu.utils.oracle import (
+    weighted_prolongation,
+    weighted_restriction,
+)
+
+__all__ = [
+    "SparseLevel",
+    "SparseHierarchy",
+    "build_sparse_hierarchy",
+    "sparse_v_cycle",
+    "AlgebraicSolver",
+    "setup_sparse",
+    "parity_colors",
+    "greedy_colors",
+]
+
+
+# ---------------------------------------------------------------------------
+# coloring (setup-time, host)
+# ---------------------------------------------------------------------------
+
+
+def parity_colors(A, shape) -> np.ndarray | None:
+    """Red-black coloring by grid-coordinate parity, or None if the matrix
+    couples same-parity points (then RB half-sweeps would not be true GS).
+
+    Vectorized (no per-row Python loop) — valid for all 2d+1-point
+    operators, e.g. Poisson and its aggregation-Galerkin coarsenings.
+    """
+    import scipy.sparse as sp
+
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    if A.shape[0] != n:
+        return None
+    coo = sp.coo_matrix(A)
+    par = np.zeros(n, dtype=np.int32)
+    for idx in np.unravel_index(np.arange(n), shape):
+        par ^= (idx & 1).astype(np.int32)
+    off = coo.row != coo.col
+    if np.any(par[coo.row[off]] == par[coo.col[off]]):
+        return None
+    return par
+
+
+def greedy_colors(A) -> np.ndarray:
+    """Greedy graph coloring of the (symmetrized) sparsity graph.
+
+    Host-side Python loop over rows — O(nnz); used only at setup and only
+    for levels where parity coloring fails.
+    """
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(A)
+    S = (S + S.T).tocsr()  # color the symmetrized adjacency
+    n = S.shape[0]
+    colors = np.full(n, -1, dtype=np.int32)
+    indptr, indices = S.indptr, S.indices
+    for i in range(n):
+        neigh = indices[indptr[i] : indptr[i + 1]]
+        used = set(int(c) for c in colors[neigh] if c >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors
+
+
+# ---------------------------------------------------------------------------
+# hierarchy
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("A", "inv_diag", "R", "P", "colors"),
+    meta_fields=("num_colors",),
+)
+@dataclasses.dataclass(frozen=True)
+class SparseLevel:
+    """One level of the general-sparse hierarchy.
+
+    ``R``/``P`` map this level to/from the next-coarser one (None at the
+    coarsest level); ``colors`` is the GS coloring (None when smoothing
+    with Jacobi).
+    """
+
+    A: object  # ELLMatrix | CSRMatrix | BSRMatrix
+    inv_diag: jax.Array  # (n,)
+    R: object | None
+    P: object | None
+    colors: jax.Array | None  # (n,) int32
+    num_colors: int
+
+    @property
+    def n(self) -> int:
+        return self.A.shape[0]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("levels", "coarse_inv", "fine_hi", "fine_lo"),
+    meta_fields=("stats", "fmt"),
+)
+@dataclasses.dataclass(frozen=True)
+class SparseHierarchy:
+    levels: tuple  # tuple[SparseLevel, ...], finest first
+    coarse_inv: jax.Array  # (nc, nc)
+    fine_hi: ELLMatrix  # outer-residual operator, hi part
+    fine_lo: ELLMatrix | None  # lo part (doublefloat) or None
+    stats: tuple  # per-level (n, k_or_kb, true_nnz)
+    fmt: str
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n(self) -> int:
+        return self.levels[0].n
+
+
+def _resolve_blocksize(n: int, want: int) -> int:
+    """Largest divisor of n that is <= want (BSR needs exact tiling)."""
+    b = min(max(int(want), 1), n)
+    while n % b:
+        b -= 1
+    return b
+
+
+def build_sparse_hierarchy(
+    A,
+    shape,
+    gridlevels=None,
+    fmt: str = "ell",
+    transfer_name: str = "aggregate",
+    dtype=np.float32,
+    residual_dtype: str = "doublefloat",
+    max_dense_coarse: int = 512,
+    blocksize: int = 4,
+    smoother: str = "jacobi",
+) -> SparseHierarchy:
+    """Host-side setup: explicit R/P chain, scipy-SpGEMM Galerkin RAP,
+    conversion to padded-static-nnz device containers (SURVEY.md T1/T6)."""
+    import scipy.sparse as sp
+
+    from openmg_tpu.utils.oracle import max_gridlevels
+
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    A = sp.csr_matrix(A).astype(np.float64)
+    if A.shape != (n, n):
+        raise ValueError(f"matrix shape {A.shape} != grid {shape} ({n} points)")
+    transfer = TRANSFERS[transfer_name]
+
+    if gridlevels is None:
+        gridlevels = 1
+        s, cnt = list(shape), n
+        while cnt > max_dense_coarse and gridlevels < max_gridlevels(shape):
+            s = [max(1, v // 2) for v in s]
+            cnt = int(np.prod(s))
+            gridlevels += 1
+    gridlevels = min(int(gridlevels), max_gridlevels(shape))
+
+    # explicit transfer matrices + Galerkin chain (scipy SpGEMM, setup-only)
+    shapes = [shape]
+    As, Rs, Ps = [A], [], []
+    for _ in range(gridlevels - 1):
+        s = shapes[-1]
+        R = weighted_restriction(s, transfer.r_taps)
+        P = weighted_prolongation(s, transfer.p_taps)
+        Rs.append(R)
+        Ps.append(P)
+        As.append((R @ As[-1] @ P).tocsr())
+        shapes.append(tuple(max(1, v // 2) for v in s))
+
+    nc = As[-1].shape[0]
+    if nc > max_dense_coarse:
+        raise ValueError(
+            f"coarsest level has {nc} unknowns > max_dense_coarse="
+            f"{max_dense_coarse}; increase gridlevels"
+        )
+    coarse_inv = np.linalg.inv(As[-1].toarray())
+
+    levels, stats = [], []
+    for lvl in range(gridlevels):
+        Al = As[lvl]
+        diag = Al.diagonal()
+        if np.any(diag == 0):
+            raise ValueError(f"level {lvl} operator has zero diagonal entries")
+        if fmt == "bsr":
+            bs = _resolve_blocksize(Al.shape[0], blocksize)
+            Adev = from_scipy(Al, "bsr", dtype=dtype, blocksize=(bs, bs))
+        else:
+            Adev = from_scipy(Al, fmt, dtype=dtype)
+        colors_np = None
+        if smoother == "rbgs":
+            colors_np = parity_colors(Al, shapes[lvl])
+            if colors_np is None:
+                colors_np = greedy_colors(Al)
+        # R/P stored in ELL regardless of the cycle format (rectangular,
+        # few taps per row — ELL is the natural layout)
+        R = ell_from_scipy(Rs[lvl], dtype=dtype) if lvl < gridlevels - 1 else None
+        P = ell_from_scipy(Ps[lvl], dtype=dtype) if lvl < gridlevels - 1 else None
+        levels.append(
+            SparseLevel(
+                A=Adev,
+                inv_diag=jnp.asarray(1.0 / diag, dtype=dtype),
+                R=R,
+                P=P,
+                colors=(
+                    jnp.asarray(colors_np) if colors_np is not None else None
+                ),
+                num_colors=(
+                    int(colors_np.max()) + 1 if colors_np is not None else 0
+                ),
+            )
+        )
+        k_stat = Adev.kb if fmt == "bsr" else Adev.k if fmt == "ell" else 0
+        stats.append((int(Al.shape[0]), int(k_stat), int(Al.nnz)))
+
+    # outer-residual operator: exact two-f32 split of the f64 fine matrix
+    fine_ell64 = ell_from_scipy(A, dtype=np.float64)
+    d64 = np.asarray(fine_ell64.data)
+    hi = d64.astype(np.float32)
+    if residual_dtype == "doublefloat":
+        lo = (d64 - hi.astype(np.float64)).astype(np.float32)
+        fine_hi = dataclasses.replace(fine_ell64, data=jnp.asarray(hi))
+        fine_lo = dataclasses.replace(fine_ell64, data=jnp.asarray(lo))
+    else:
+        rd = np.dtype(residual_dtype)
+        fine_hi = dataclasses.replace(
+            fine_ell64, data=jnp.asarray(d64.astype(rd))
+        )
+        fine_lo = None
+    return SparseHierarchy(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
+        fine_hi=fine_hi,
+        fine_lo=fine_lo,
+        stats=tuple(stats),
+        fmt=fmt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# cycle
+# ---------------------------------------------------------------------------
+
+
+def _smooth_sparse(level: SparseLevel, b, x, iterations: int, smoother, omega):
+    if iterations <= 0:
+        return x
+    if smoother == "jacobi" or level.colors is None:
+        om = jnp.asarray(omega, dtype=x.dtype)
+        for _ in range(iterations):
+            x = x + om * level.inv_diag * (b - spmv(level.A, x))
+        return x
+    if smoother == "rbgs":
+        for _ in range(iterations):
+            for c in range(level.num_colors):
+                upd = x + level.inv_diag * (b - spmv(level.A, x))
+                x = jnp.where(level.colors == c, upd, x)
+        return x
+    raise ValueError(f"unknown smoother {smoother!r}")
+
+
+def sparse_v_cycle(
+    hierarchy: SparseHierarchy,
+    b,
+    x,
+    level: int = 0,
+    pre: int = 2,
+    post: int = 2,
+    smoother: str = "jacobi",
+    omega: float = 2.0 / 3.0,
+):
+    """One V-cycle on flat vectors; unrolls at trace time (T7)."""
+    L = hierarchy.levels[level]
+    if level == hierarchy.num_levels - 1:
+        return hierarchy.coarse_inv @ b
+    x = _smooth_sparse(L, b, x, pre, smoother, omega)
+    r = b - spmv(L.A, x)
+    bc = spmv(L.R, r)
+    ec = sparse_v_cycle(
+        hierarchy, bc, jnp.zeros_like(bc), level + 1, pre, post, smoother, omega
+    )
+    x = x + spmv(L.P, ec)
+    x = _smooth_sparse(L, b, x, post, smoother, omega)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("pre", "post", "smoother", "omega"))
+def _sparse_cycle_step(hierarchy, r, *, pre, post, smoother, omega):
+    r32 = r.astype(hierarchy.levels[0].inv_diag.dtype)
+    return sparse_v_cycle(
+        hierarchy, r32, jnp.zeros_like(r32), 0, pre, post, smoother, omega
+    )
+
+
+@jax.jit
+def _sparse_residual_df(fine_hi, fine_lo, b_df, x_df):
+    ax = spmv_df(fine_hi, fine_lo, x_df[0], x_df[1])
+    r = df_sub(b_df, ax)
+    return r, jnp.sqrt(jnp.sum(r[0] * r[0]))
+
+
+@jax.jit
+def _sparse_residual(fine_hi, b, x):
+    r = b - spmv(fine_hi, x)
+    return r, jnp.sqrt(jnp.sum(r * r))
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+class AlgebraicSolver:
+    """General-sparse solver: same contract as
+    :class:`openmg_tpu.core.solver.Solver` (defect-correction outer loop,
+    per-cycle residual history) on flat vectors."""
+
+    def __init__(self, hierarchy: SparseHierarchy, config: SolverConfig):
+        self.hierarchy = hierarchy
+        self.config = config
+        self.df = hierarchy.fine_lo is not None
+        self._cycle = functools.partial(
+            _sparse_cycle_step,
+            pre=config.pre_iterations,
+            post=config.post_iterations,
+            smoother=config.smoother,
+            omega=config.omega,
+        )
+
+    @property
+    def n(self) -> int:
+        return self.hierarchy.n
+
+    def solve(self, b, x0=None):
+        cfg = self.config
+        h = self.hierarchy
+        b_np = np.asarray(b, dtype=np.float64).reshape(-1)
+        x0_np = (
+            np.zeros(self.n)
+            if x0 is None
+            else np.asarray(x0, dtype=np.float64).reshape(-1)
+        )
+        if self.df:
+            b_dev = df_split(b_np)
+            x = df_split(x0_np)
+        else:
+            rd = h.fine_hi.dtype
+            b_dev = jnp.asarray(b_np, dtype=rd)
+            x = jnp.asarray(x0_np, dtype=rd)
+
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        history, cycle_times = [], []
+        converged = False
+        t_start = time.perf_counter()
+        for k in range(limit + 1):
+            if self.df:
+                r_pair, rnorm = _sparse_residual_df(
+                    h.fine_hi, h.fine_lo, b_dev, x
+                )
+                r = r_pair[0]
+            else:
+                r, rnorm = _sparse_residual(h.fine_hi, b_dev, x)
+            rnorm = float(rnorm)
+            history.append(rnorm)
+            if cfg.verbose:
+                print(f"[openmg_tpu/sparse] cycle {k}: ‖r‖ = {rnorm:.3e}")
+            if rnorm < cfg.threshold:
+                converged = True
+                break
+            if k == limit:
+                break
+            t0 = time.perf_counter()
+            e = self._cycle(h, r)
+            if self.df:
+                x = df_add_f32(x, e)
+                x[0].block_until_ready()
+            else:
+                x = x + e.astype(x.dtype)
+                x.block_until_ready()
+            cycle_times.append(time.perf_counter() - t0)
+
+        x_out = df_merge(x) if self.df else np.asarray(x, dtype=np.float64)
+        info = {
+            "residual_norms": history,
+            "cycles": len(history) - 1,
+            "converged": converged,
+            "final_norm": history[-1],
+            "gridlevels": h.num_levels,
+            "level_stats": h.stats,
+            "format": h.fmt,
+            "residual_mode": "doublefloat" if self.df else str(h.fine_hi.dtype),
+            "num_colors": tuple(l.num_colors for l in h.levels),
+            "cycle_times_s": cycle_times,
+            "solve_time_s": time.perf_counter() - t_start,
+        }
+        return jnp.asarray(x_out), info
+
+
+def setup_sparse(A, shape, config: SolverConfig | None = None) -> AlgebraicSolver:
+    """Build an :class:`AlgebraicSolver` for an arbitrary sparse SPD ``A``
+    over the grid ``shape`` (the general engine behind ``mg_solve``)."""
+    config = config or SolverConfig()
+    fmt = config.format if config.format not in (None, "auto", "stencil") else "ell"
+    rmode = (
+        config.residual_dtype
+        if config.residual_dtype not in (None, "auto")
+        else "doublefloat"
+    )
+    hierarchy = build_sparse_hierarchy(
+        A,
+        shape,
+        gridlevels=config.gridlevels,
+        fmt=fmt,
+        transfer_name=config.transfer,
+        dtype=np.dtype(config.dtype),
+        residual_dtype=rmode,
+        max_dense_coarse=config.max_dense_coarse,
+        blocksize=config.blocksize,
+        smoother=config.smoother,
+    )
+    return AlgebraicSolver(hierarchy, config)

@@ -48,6 +48,11 @@ class SolverConfig:
         doublefloat).
     max_dense_coarse: largest coarsest-level size solved by the
         precomputed dense solve (T8).
+    format: operator storage for the cycle — "auto" (stencil fast path
+        when the matrix is grid-structured, else ELL), or force one of
+        "stencil" | "ell" | "csr" | "bsr" (the padded-static-nnz general
+        containers, SURVEY.md T1).
+    blocksize: BSR block edge (square blocks) when format="bsr".
     """
 
     gridlevels: Optional[int] = None
@@ -63,6 +68,8 @@ class SolverConfig:
     setup_dtype: str = "float32"  # RAP-chain precision (see build_hierarchy)
     max_dense_coarse: int = 512
     min_coarse_dim: int = 1
+    format: str = "auto"
+    blocksize: int = 4
     verbose: bool = False
 
     @staticmethod
@@ -88,6 +95,8 @@ class SolverConfig:
             "setup_dtype",
             "max_dense_coarse",
             "min_coarse_dim",
+            "format",
+            "blocksize",
         ):
             if extra in p:
                 known[extra] = p.pop(extra)

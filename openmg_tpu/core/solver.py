@@ -276,22 +276,45 @@ def mg_solve(A, b, parameters: dict):
     """Reference-compatible driver (SURVEY.md R7 vocabulary).
 
     ``A``: scipy sparse / dense matrix over the grid named by
-    ``parameters['problemshape']`` (its exact stencil form is extracted),
-    or ``None`` to assemble the Poisson operator.  ``b``: flat or
-    grid-shaped right-hand side.  Returns ``(x, info)`` with ``x`` flat,
-    matching the reference's vector-in/vector-out surface.
+    ``parameters['problemshape']``, or ``None`` to assemble the Poisson
+    operator.  ``b``: flat or grid-shaped right-hand side.  Returns
+    ``(x, info)`` with ``x`` flat, matching the reference's
+    vector-in/vector-out surface.
+
+    Engine selection (``parameters["format"]`` / ``SolverConfig.format``):
+    with the default ``"auto"``, the exact stencil form of ``A`` is
+    extracted and the gather-free stencil engine runs; matrices that are
+    not stencil-representable (or an explicit ``format`` of
+    "ell"/"csr"/"bsr") fall back to the general padded-static-nnz sparse
+    engine (:mod:`openmg_tpu.core.algebraic`) — the reference accepts any
+    sparse SPD matrix over the grid, so both paths are first-class.
     """
     if "problemshape" not in parameters:
         raise ValueError("parameters must include 'problemshape'")
     shape = tuple(int(s) for s in parameters["problemshape"])
     config = SolverConfig.from_parameters(parameters)
-    if A is None:
-        stencil = poisson_stencil(shape)
+    fmt = config.format
+    if A is None and fmt in ("auto", "stencil"):
+        solver = setup(poisson_stencil(shape), config)
+    elif fmt in ("ell", "csr", "bsr"):
+        from openmg_tpu.core.algebraic import setup_sparse
+        from openmg_tpu.models.poisson import poisson
+
+        A_in = poisson(shape) if A is None else A
+        solver = setup_sparse(A_in, shape, config)
     else:
         import scipy.sparse as sp
 
         A_sp = sp.csr_matrix(A)
-        stencil = stencil_from_csr(A_sp, shape)
-    solver = setup(stencil, config)
+        try:
+            stencil = stencil_from_csr(A_sp, shape)
+        except ValueError:
+            if fmt == "stencil":
+                raise
+            from openmg_tpu.core.algebraic import setup_sparse
+
+            solver = setup_sparse(A_sp, shape, config)
+        else:
+            solver = setup(stencil, config)
     x, info = solver.solve(b)
     return np.asarray(x).reshape(-1), info

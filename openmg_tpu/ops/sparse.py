@@ -1,0 +1,373 @@
+"""Sparse format layer: CSR / ELL / BSR with padded static nnz (T1).
+
+The stencil (DIA-on-grid) form in :mod:`openmg_tpu.ops.stencil` is the fast
+path for grid-structured operators (gather-free SpMV).  This module is the
+*general* sparse-interchange surface required by the BASELINE north star
+("sparse format layer (CSR/BSR with padded static nnz)", SURVEY.md T1): it
+covers arbitrary sparse SPD matrices — anything a user of the reference
+could pass to ``mg_solve(A, b, parameters)`` (SURVEY.md R7) — at the cost
+of gather traffic in the SpMV.
+
+Design for XLA/TPU:
+
+* every container is a frozen pytree dataclass of **statically-shaped**
+  device arrays: nnz is padded at construction (pad entries carry
+  ``data == 0`` at a valid coordinate, so they are provably inert in every
+  kernel — SURVEY.md §7 "Hard parts"), and the padded sizes are part of the
+  pytree structure, so one XLA compilation serves every cycle;
+* **ELL** is the TPU-preferred general layout: ``(n, k)`` data/column
+  planes make the SpMV a dense gather + row reduction — regular,
+  vectorizable, and the layout the Pallas general kernel tiles;
+* **CSR** is the interchange format (scipy-compatible; SpMV via sorted
+  ``segment_sum``);
+* **BSR** stores ``(br, bc)`` dense blocks in block-ELL layout; its SpMV
+  contracts block columns with ``einsum`` — MXU-eligible for larger blocks
+  and ~``1/(br·bc)`` the index traffic of CSR (BASELINE config 4 names BSR
+  operators at 256³).
+
+Conversions are host-side (scipy) and happen once at setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CSRMatrix",
+    "ELLMatrix",
+    "BSRMatrix",
+    "csr_from_scipy",
+    "ell_from_scipy",
+    "bsr_from_scipy",
+    "from_scipy",
+    "to_scipy",
+    "spmv",
+    "spmv_df",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# containers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data", "indices", "row_ids"),
+    meta_fields=("shape", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """CSR with padded static nnz.
+
+    ``data/indices/row_ids`` all have length ``nnz_pad`` (static); entries
+    are row-major sorted, pads sit at the end with ``data == 0`` in the
+    last row (keeping ``row_ids`` sorted for a fast segment reduction).
+    ``indptr`` is not carried on device — the SpMV uses ``row_ids``; it is
+    reconstructed on the host in :func:`to_scipy`.
+    """
+
+    data: jax.Array  # (nnz_pad,)
+    indices: jax.Array  # (nnz_pad,) int32 column of each entry
+    row_ids: jax.Array  # (nnz_pad,) int32 row of each entry (sorted)
+    shape: tuple  # (nrows, ncols)
+    nnz: int  # true (unpadded) nnz
+
+    @property
+    def nnz_pad(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "CSRMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data", "cols"),
+    meta_fields=("shape", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class ELLMatrix:
+    """ELLPACK: ``k`` (padded max-nnz-per-row) entries per row.
+
+    ``data[i, j]`` pairs with column ``cols[i, j]``; pad slots carry
+    ``data == 0`` at column 0.
+    """
+
+    data: jax.Array  # (nrows, k)
+    cols: jax.Array  # (nrows, k) int32
+    shape: tuple
+    nnz: int
+
+    @property
+    def k(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "ELLMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data", "bcols"),
+    meta_fields=("shape", "blocksize", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Block-sparse rows in block-ELL layout.
+
+    ``data[I, J]`` is the dense ``(br, bc)`` block coupling block-row ``I``
+    to block-column ``bcols[I, J]``; pad slots are zero blocks at block
+    column 0.  ``nnz`` counts true scalar nonzeros.
+    """
+
+    data: jax.Array  # (nbrows, kb, br, bc)
+    bcols: jax.Array  # (nbrows, kb) int32
+    shape: tuple
+    blocksize: tuple  # (br, bc)
+    nnz: int
+
+    @property
+    def kb(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "BSRMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# host-side conversion (setup-time, one-off)
+# ---------------------------------------------------------------------------
+
+
+def csr_from_scipy(A, pad_nnz_to: int = 8, dtype=np.float32) -> CSRMatrix:
+    """scipy sparse → :class:`CSRMatrix`, nnz padded to a multiple of
+    ``pad_nnz_to`` (static-shape budget, SURVEY.md T1)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
+    n, m = A.shape
+    nnz = int(A.nnz)
+    nnz_pad = max(_round_up(nnz, pad_nnz_to), pad_nnz_to)
+    data = np.zeros(nnz_pad, dtype=dtype)
+    indices = np.zeros(nnz_pad, dtype=np.int32)
+    row_ids = np.full(nnz_pad, n - 1, dtype=np.int32)  # pads at end stay sorted
+    data[:nnz] = A.data
+    indices[:nnz] = A.indices
+    row_ids[:nnz] = np.repeat(
+        np.arange(n, dtype=np.int32), np.diff(A.indptr).astype(np.int64)
+    )
+    return CSRMatrix(
+        data=jnp.asarray(data),
+        indices=jnp.asarray(indices),
+        row_ids=jnp.asarray(row_ids),
+        shape=(int(n), int(m)),
+        nnz=nnz,
+    )
+
+
+def ell_from_scipy(A, k: int | None = None, dtype=np.float32) -> ELLMatrix:
+    """scipy sparse → :class:`ELLMatrix`; ``k`` defaults to the true
+    max-nnz-per-row (pass a larger ``k`` to align budgets across levels)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    A.sum_duplicates()
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    k_true = int(counts.max()) if n else 0
+    k = max(k if k is not None else k_true, 1)
+    if k < k_true:
+        raise ValueError(f"k={k} < max nnz/row {k_true}")
+    data = np.zeros((n, k), dtype=dtype)
+    cols = np.zeros((n, k), dtype=np.int32)
+    # slot index of each entry within its row
+    slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    rows = np.repeat(np.arange(n), counts)
+    data[rows, slot] = A.data
+    cols[rows, slot] = A.indices
+    return ELLMatrix(
+        data=jnp.asarray(data),
+        cols=jnp.asarray(cols),
+        shape=(int(n), int(m)),
+        nnz=int(A.nnz),
+    )
+
+
+def bsr_from_scipy(
+    A, blocksize: tuple = (4, 4), kb: int | None = None, dtype=np.float32
+) -> BSRMatrix:
+    """scipy sparse → :class:`BSRMatrix` (block-ELL).  Dims must divide by
+    the block size; blocks are dense (explicit zeros inside a touched
+    block), which is the bandwidth/regularity trade BSR makes."""
+    import scipy.sparse as sp
+
+    br, bc = int(blocksize[0]), int(blocksize[1])
+    n, m = A.shape
+    if n % br or m % bc:
+        raise ValueError(f"shape {A.shape} not divisible by blocksize {blocksize}")
+    true_nnz = int(sp.csr_matrix(A).nnz)
+    B = sp.bsr_matrix(A, blocksize=(br, bc))
+    B.sort_indices()
+    nbr = n // br
+    counts = np.diff(B.indptr)
+    kb_true = int(counts.max()) if nbr else 0
+    kb = max(kb if kb is not None else kb_true, 1)
+    if kb < kb_true:
+        raise ValueError(f"kb={kb} < max blocks/row {kb_true}")
+    data = np.zeros((nbr, kb, br, bc), dtype=dtype)
+    bcols = np.zeros((nbr, kb), dtype=np.int32)
+    slot = np.arange(B.indices.size) - np.repeat(B.indptr[:-1], counts)
+    rows = np.repeat(np.arange(nbr), counts)
+    data[rows, slot] = B.data
+    bcols[rows, slot] = B.indices
+    return BSRMatrix(
+        data=jnp.asarray(data),
+        bcols=jnp.asarray(bcols),
+        shape=(int(n), int(m)),
+        blocksize=(br, bc),
+        nnz=true_nnz,
+    )
+
+
+def from_scipy(A, fmt: str = "ell", dtype=np.float32, **kw):
+    """Dispatching converter: ``fmt`` in {"csr", "ell", "bsr"}."""
+    if fmt == "csr":
+        return csr_from_scipy(A, dtype=dtype, **kw)
+    if fmt == "ell":
+        return ell_from_scipy(A, dtype=dtype, **kw)
+    if fmt == "bsr":
+        return bsr_from_scipy(A, dtype=dtype, **kw)
+    raise ValueError(f"unknown sparse format {fmt!r}")
+
+
+def to_scipy(M):
+    """Round-trip any container back to scipy CSR (drops padding)."""
+    import scipy.sparse as sp
+
+    if isinstance(M, CSRMatrix):
+        rows = np.asarray(M.row_ids)[: M.nnz]
+        cols = np.asarray(M.indices)[: M.nnz]
+        vals = np.asarray(M.data)[: M.nnz]
+        return sp.coo_matrix((vals, (rows, cols)), shape=M.shape).tocsr()
+    if isinstance(M, ELLMatrix):
+        n, k = M.data.shape
+        rows = np.repeat(np.arange(n), k)
+        cols = np.asarray(M.cols).ravel()
+        vals = np.asarray(M.data).ravel()
+        keep = vals != 0
+        return sp.coo_matrix(
+            (vals[keep], (rows[keep], cols[keep])), shape=M.shape
+        ).tocsr()
+    if isinstance(M, BSRMatrix):
+        br, bc = M.blocksize
+        nbr, kb = M.bcols.shape
+        data = np.asarray(M.data)
+        bcols = np.asarray(M.bcols)
+        indptr = np.arange(nbr + 1) * kb
+        B = sp.bsr_matrix(
+            (data.reshape(nbr * kb, br, bc), bcols.ravel(), indptr),
+            shape=M.shape,
+            blocksize=(br, bc),
+        )
+        out = sp.csr_matrix(B)
+        out.eliminate_zeros()
+        return out
+    raise TypeError(f"not a sparse container: {type(M)}")
+
+
+# ---------------------------------------------------------------------------
+# device ops
+# ---------------------------------------------------------------------------
+
+
+def spmv(M, x: jax.Array) -> jax.Array:
+    """``y = M x`` for any container; ``x`` flat ``(ncols,)``.
+
+    Pad entries contribute exactly 0 (zero data at valid coordinates).
+    """
+    if isinstance(M, ELLMatrix):
+        return jnp.sum(M.data * x[M.cols], axis=1)
+    if isinstance(M, CSRMatrix):
+        prod = M.data * x[M.indices]
+        return jax.ops.segment_sum(
+            prod, M.row_ids, num_segments=M.shape[0], indices_are_sorted=True
+        )
+    if isinstance(M, BSRMatrix):
+        br, bc = M.blocksize
+        xb = x.reshape(-1, bc)[M.bcols]  # (nbr, kb, bc)
+        y = jnp.einsum("rkij,rkj->ri", M.data, xb)
+        return y.reshape(-1)
+    raise TypeError(f"not a sparse container: {type(M)}")
+
+
+def spmv_df(M_hi, M_lo, x_hi, x_lo):
+    """Double-float SpMV accumulation ``(A_hi + A_lo)(x_hi + x_lo)`` for the
+    outer 1e-10 residual on the general path (ELL only — the residual
+    operator is stored in ELL regardless of the cycle format).
+
+    Returns the df pair ``(y_hi, y_lo)``.  Loops over the static k slots so
+    each term goes through compensated two-f32 products/sums
+    (:mod:`openmg_tpu.ops.doublefloat`).
+    """
+    from openmg_tpu.ops.doublefloat import df_add, df_mul
+
+    if not isinstance(M_hi, ELLMatrix):
+        raise TypeError("spmv_df requires ELL residual operators")
+    acc = None
+    for j in range(M_hi.k):
+        c = M_hi.cols[:, j]
+        term = df_mul(
+            (M_hi.data[:, j], M_lo.data[:, j]), (x_hi[c], x_lo[c])
+        )
+        acc = term if acc is None else df_add(acc, term)
+    return acc
+
+
+def diagonal(M) -> jax.Array:
+    """Main diagonal of a (square) container, computed on device."""
+    n = M.shape[0]
+    if isinstance(M, ELLMatrix):
+        rows = jnp.arange(n, dtype=M.cols.dtype)[:, None]
+        return jnp.sum(jnp.where(M.cols == rows, M.data, 0.0), axis=1)
+    if isinstance(M, CSRMatrix):
+        hit = jnp.where(M.indices == M.row_ids, M.data, 0.0)
+        return jax.ops.segment_sum(
+            hit, M.row_ids, num_segments=n, indices_are_sorted=True
+        )
+    if isinstance(M, BSRMatrix):
+        br, bc = M.blocksize
+        nbr = n // br
+        rows = jnp.arange(nbr, dtype=M.bcols.dtype)[:, None]
+        dia_blocks = jnp.sum(
+            jnp.where(
+                (M.bcols == rows)[:, :, None, None], M.data, 0.0
+            ),
+            axis=1,
+        )  # (nbr, br, bc)
+        k = min(br, bc)
+        idx = jnp.arange(k)
+        return dia_blocks[:, idx, idx].reshape(-1)
+    raise TypeError(f"not a sparse container: {type(M)}")
