@@ -133,8 +133,13 @@ class MeshConfig:
     min_rows_per_device: levels whose axis-0 extent per device would fall
         below this (or lose factor-2 divisibility) are replicated instead of
         partitioned (coarse-level redistribution, T11).
+    overlap_halo: structure partitioned smoothing/SpMV so the ppermute halo
+        exchange carries no dependency from the interior compute (the
+        BASELINE T10 overlap); False selects the plain
+        exchange-then-compute reference path.
     """
 
     n_devices: Optional[int] = None
     axis_name: str = "x"
     min_rows_per_device: int = 2
+    overlap_halo: bool = True

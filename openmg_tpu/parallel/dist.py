@@ -40,7 +40,7 @@ from openmg_tpu.core.hierarchy import Hierarchy
 from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
 from openmg_tpu.ops.smoothers import parity_mask_expr
 from openmg_tpu.ops.smoothers import smooth as smooth_plain
-from openmg_tpu.ops.stencil import StencilOperator, diag_index
+from openmg_tpu.ops.stencil import StencilOperator
 from openmg_tpu.ops.transfer import (
     Transfer,
     _prolong_axis,
@@ -48,7 +48,9 @@ from openmg_tpu.ops.transfer import (
 )
 from openmg_tpu.parallel.halo import (
     apply_ext,
+    apply_overlapped,
     halo_exchange,
+    halo_planes,
     prolong_axis0_ext,
     restrict_axis0_ext,
     shifted_ext,
@@ -91,16 +93,33 @@ def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
 # ---------------------------------------------------------------------------
 
 
+def _apply_dist(op, x, axis_name, n_dev, overlap, exclude_diag=False):
+    """Partitioned SpMV: overlapped (halo planes consumed only by the
+    boundary-row corrections — the BASELINE halo/compute overlap, T10) or
+    the plain exchange-then-apply reference path."""
+    if overlap:
+        lower, upper = halo_planes(x, axis_name, n_dev)
+        return apply_overlapped(op, x, lower, upper, exclude_diag)
+    return apply_ext(op, halo_exchange(x, axis_name, n_dev), exclude_diag)
+
+
 def _smooth_part(
-    name, op: StencilOperator, inv_diag, b, x, iterations, omega, axis_name, n_dev
+    name,
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations,
+    omega,
+    axis_name,
+    n_dev,
+    overlap: bool = True,
 ):
-    offsets = op.offsets
-    di = diag_index(offsets)
     om = jnp.asarray(omega, dtype=x.dtype)
     if name == "jacobi":
         for _ in range(iterations):
-            x_ext = halo_exchange(x, axis_name, n_dev)
-            x = x + om * inv_diag * (b - apply_ext(op, x_ext))
+            ax = _apply_dist(op, x, axis_name, n_dev, overlap)
+            x = x + om * inv_diag * (b - ax)
         return x
     if name == "rbgs":
         # local parity == global parity: the partition plan guarantees an
@@ -108,13 +127,9 @@ def _smooth_part(
         mask = parity_mask_expr(x.shape)
         for _ in range(iterations):
             for m in (mask, ~mask):
-                x_ext = halo_exchange(x, axis_name, n_dev)
-                off_sum = None
-                for k, off in enumerate(offsets):
-                    if k == di:
-                        continue
-                    t = op.coeff(k) * shifted_ext(x_ext, off)
-                    off_sum = t if off_sum is None else off_sum + t
+                off_sum = _apply_dist(
+                    op, x, axis_name, n_dev, overlap, exclude_diag=True
+                )
                 xn = inv_diag * (b - off_sum)
                 x = jnp.where(m, xn, x)
         return x
@@ -160,6 +175,7 @@ def _dist_v_cycle(
     omega,
     axis_name,
     n_dev,
+    overlap: bool = True,
 ):
     num_levels = len(level_data)
 
@@ -176,15 +192,15 @@ def _dist_v_cycle(
         op = op_at(level, x.shape)
         if plan[level]:
             return _smooth_part(
-                smoother, op, inv_diag, b, x, iters, omega, axis_name, n_dev
+                smoother, op, inv_diag, b, x, iters, omega, axis_name, n_dev,
+                overlap,
             )
         return smooth_plain(smoother, op, inv_diag, b, x, iters, omega)
 
     def residual_at(level, b, x):
         op = op_at(level, x.shape)
         if plan[level]:
-            x_ext = halo_exchange(x, axis_name, n_dev)
-            return b - apply_ext(op, x_ext)
+            return b - _apply_dist(op, x, axis_name, n_dev, overlap)
         return b - op.apply(x)
 
     def vc(level, b, x):
@@ -393,6 +409,7 @@ class DistributedSolver:
             omega=cfg.omega,
             axis_name=self.axis_name,
             n_dev=self.n_dev,
+            overlap=self.mesh_config.overlap_halo,
         )
         self._cycle = jax.jit(
             jax.shard_map(

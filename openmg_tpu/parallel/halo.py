@@ -11,10 +11,13 @@ is masked off).
 All functions here run *inside* ``shard_map`` on local blocks.
 
 Overlap (the BASELINE "halo exchange overlapped with interior smoothing"):
-`smooth_sweep_overlapped` structures each sweep so the interior update
-depends only on local data while the two boundary planes consume the
-ppermute results — XLA's latency-hiding scheduler can then run the
-collective-permute concurrently with the interior compute.
+:func:`halo_planes` + :func:`apply_overlapped` structure each sweep so the
+bulk local-only SpMV has **no data dependency** on the ppermute results —
+only the two boundary-plane correction terms consume them — so XLA's
+latency-hiding scheduler can run the collective-permute concurrently with
+the interior compute.  ``apply_overlapped`` is algebraically identical to
+``apply_ext`` after ``halo_exchange`` (the halo terms are summed last
+instead of in offset order; fp differences are at roundoff).
 """
 
 from __future__ import annotations
@@ -24,8 +27,10 @@ from jax import lax
 
 __all__ = [
     "halo_exchange",
+    "halo_planes",
     "shifted_ext",
     "apply_ext",
+    "apply_overlapped",
     "restrict_axis0_ext",
     "prolong_axis0_ext",
 ]
@@ -51,6 +56,72 @@ def halo_exchange(x_local, axis_name: str, n_dev: int):
     return jnp.concatenate([lower, x_local, upper], axis=0)
 
 
+def halo_planes(x_local, axis_name: str, n_dev: int):
+    """Just the two received halo planes ``(lower, upper)``, each
+    ``(1, *trailing)`` (zeros at the global domain edges) — the overlapped
+    path keeps them separate from the local block so the bulk compute has
+    no data dependency on the ppermute."""
+    if n_dev == 1:
+        z = jnp.zeros_like(x_local[:1])
+        return z, z
+    idx = lax.axis_index(axis_name)
+    lower = lax.ppermute(x_local[-1:], axis_name, _ring_perm(n_dev, 1))
+    upper = lax.ppermute(x_local[:1], axis_name, _ring_perm(n_dev, -1))
+    lower = jnp.where(idx == 0, jnp.zeros_like(lower), lower)
+    upper = jnp.where(idx == n_dev - 1, jnp.zeros_like(upper), upper)
+    return lower, upper
+
+
+def _plane_shift(plane, off):
+    """Apply the trailing-axis part of ``off`` to a (1, *trailing) plane."""
+    rest = (0,) + tuple(off[1:])
+    if all(o == 0 for o in rest):
+        return plane
+    from openmg_tpu.ops.stencil import shift
+
+    return shift(plane, rest)
+
+
+def _coeff_row(op, k, row: int):
+    """Coefficient slab of offset k at local row ``row`` (scalar for
+    constant operators, a (1, *trailing) slice otherwise)."""
+    c = op.coeff(k)
+    if op.is_constant:
+        return c
+    return lax.slice_in_dim(c, row, row + 1, axis=0)
+
+
+def apply_overlapped(op, x_local, lower, upper, exclude_diag: bool = False):
+    """Local SpMV ``y = A_local x`` structured for collective/compute
+    overlap: the full-block term uses zero halos (exact for all interior
+    rows), and the two boundary rows are corrected with the received
+    planes afterwards.  Only the corrections depend on the ppermute
+    outputs, so XLA can schedule the permute under the bulk compute.
+    ``exclude_diag`` gives ``(A − D) x`` (the diagonal never crosses the
+    halo, so only the bulk term changes)."""
+    local = x_local.shape[0]
+    pad = [(1, 1, 0)] + [(0, 0, 0)] * (x_local.ndim - 1)
+    x_ext0 = lax.pad(x_local, jnp.zeros((), x_local.dtype), pad)
+    y = apply_ext(op, x_ext0, exclude_diag)  # no ppermute dependency
+
+    corr_lo = None  # row 0 reads x[-1] = lower plane via offsets with o0 == -1
+    corr_hi = None  # row local-1 reads x[local] = upper plane via o0 == +1
+    for k, off in enumerate(op.offsets):
+        if off[0] == -1:
+            t = _coeff_row(op, k, 0) * _plane_shift(lower, off)
+            corr_lo = t if corr_lo is None else corr_lo + t
+        elif off[0] == 1:
+            t = _coeff_row(op, k, local - 1) * _plane_shift(upper, off)
+            corr_hi = t if corr_hi is None else corr_hi + t
+    first = y[:1] + corr_lo if corr_lo is not None else y[:1]
+    last = y[-1:] + corr_hi if corr_hi is not None else y[-1:]
+    if local == 1:
+        # a single local row is both boundary rows
+        out = first + (corr_hi if corr_hi is not None else 0.0)
+        return out
+    return jnp.concatenate([first, y[1:-1], last], axis=0)
+
+
 def shifted_ext(x_ext, off):
     """``z[i] = x[i + off]`` on the local block, using the axis-0 halo for
     ``off[0] ∈ {−1, 0, 1}`` and zero-fill shifts on the trailing axes."""
@@ -67,11 +138,15 @@ def shifted_ext(x_ext, off):
     return shift(sl, rest)
 
 
-def apply_ext(op, x_ext):
+def apply_ext(op, x_ext, exclude_diag: bool = False):
     """Local SpMV ``y = A_local x`` with halo-extended ``x`` (``op`` is a
-    StencilOperator over the *local* block — varying or constant)."""
+    StencilOperator over the *local* block — varying or constant).
+    ``exclude_diag`` computes ``(A − D) x`` (RB-GS half-sweeps)."""
+    zero = (0,) * len(op.offsets[0])
     y = None
     for k, off in enumerate(op.offsets):
+        if exclude_diag and off == zero:
+            continue
         t = op.coeff(k) * shifted_ext(x_ext, off)
         y = t if y is None else y + t
     return y

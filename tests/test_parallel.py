@@ -13,7 +13,12 @@ from openmg_tpu.core.config import MeshConfig
 from openmg_tpu.models.poisson import poisson_stencil, rhs_random
 from openmg_tpu.ops.stencil import StencilOperator, apply, shift
 from openmg_tpu.parallel.dist import DistributedSolver, distributed_setup, partition_plan
-from openmg_tpu.parallel.halo import apply_ext, halo_exchange
+from openmg_tpu.parallel.halo import (
+    apply_ext,
+    apply_overlapped,
+    halo_exchange,
+    halo_planes,
+)
 from openmg_tpu.parallel.mesh import make_mesh
 
 pytestmark = pytest.mark.skipif(
@@ -62,6 +67,74 @@ def test_halo_exchange_matches_global_stencil():
     )
     got = np.asarray(f(jnp.asarray(coeffs), jnp.asarray(x)))
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("exclude_diag", [False, True])
+@pytest.mark.parametrize("constant", [False, True])
+def test_overlapped_apply_matches_plain(exclude_diag, constant):
+    """apply_overlapped == halo_exchange + apply_ext to fp roundoff (the
+    halo terms are summed last instead of in offset order) — for both
+    varying and constant operators (T10 overlap invariant)."""
+    shape = (32, 16)
+    offsets, coeffs = poisson_stencil(shape, dtype=np.float32)
+    x = rhs_random(shape, seed=3).astype(np.float32)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    mid = tuple(s // 2 for s in shape)  # interior point: true stencil values
+    vals = jnp.asarray([coeffs[k][mid] for k in range(len(offsets))])
+
+    def make_op(c, local_shape):
+        if constant:
+            return StencilOperator(None, offsets, vals, tuple(local_shape))
+        return StencilOperator(c, offsets)
+
+    def plain(c, v):
+        return apply_ext(make_op(c, v.shape), halo_exchange(v, "x", n), exclude_diag)
+
+    def overlapped(c, v):
+        lower, upper = halo_planes(v, "x", n)
+        return apply_overlapped(make_op(c, v.shape), v, lower, upper, exclude_diag)
+
+    specs = dict(in_specs=(P(None, "x"), P("x")), out_specs=P("x"))
+    f_plain = jax.jit(jax.shard_map(plain, mesh=mesh, **specs))
+    f_over = jax.jit(jax.shard_map(overlapped, mesh=mesh, **specs))
+    a = np.asarray(f_plain(jnp.asarray(coeffs), jnp.asarray(x)))
+    o = np.asarray(f_over(jnp.asarray(coeffs), jnp.asarray(x)))
+    np.testing.assert_allclose(o, a, rtol=1e-6, atol=1e-6)
+    if constant and not exclude_diag:
+        # constant-op zero-truncation must also match the global stencil
+        op_full = StencilOperator(None, offsets, vals, shape)
+        ref = np.asarray(apply(op_full, jnp.asarray(x)))
+        np.testing.assert_allclose(o, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_overlapped_solve_matches_reference_path():
+    """Full distributed solve with overlap on == off (same trajectory)."""
+    shape = (64, 32)
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        residual_dtype="doublefloat",
+        cycles=40,
+        gridlevels=3,
+        max_dense_coarse=4096,
+        threshold=1e-9,
+    )
+    b = rhs_random(shape, seed=4)
+    single = setup(shape, cfg)
+    d_over = DistributedSolver(
+        single.hierarchy, cfg, MeshConfig(n_devices=8, overlap_halo=True)
+    )
+    d_ref = DistributedSolver(
+        single.hierarchy, cfg, MeshConfig(n_devices=8, overlap_halo=False)
+    )
+    x_o, info_o = d_over.solve(b)
+    x_r, info_r = d_ref.solve(b)
+    assert info_o["converged"] and info_r["converged"]
+    assert abs(info_o["cycles"] - info_r["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x_o), np.asarray(x_r), rtol=1e-8, atol=1e-10
+    )
 
 
 @pytest.mark.parametrize(
