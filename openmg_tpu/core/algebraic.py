@@ -433,7 +433,11 @@ class AlgebraicSolver:
                 x.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
 
-        x_out = df_merge(x) if self.df else np.asarray(x, dtype=np.float64)
+        x_out = (
+            df_merge(x)
+            if self.df
+            else np.asarray(x, dtype=np.float64)
+        )  # host numpy out: never re-upload the result to the device
         info = {
             "residual_norms": history,
             "cycles": len(history) - 1,
@@ -447,7 +451,7 @@ class AlgebraicSolver:
             "cycle_times_s": cycle_times,
             "solve_time_s": time.perf_counter() - t_start,
         }
-        return jnp.asarray(x_out), info
+        return x_out, info
 
 
 def setup_sparse(A, shape, config: SolverConfig | None = None) -> AlgebraicSolver:

@@ -48,6 +48,12 @@ class SolverConfig:
         doublefloat).
     max_dense_coarse: largest coarsest-level size solved by the
         precomputed dense solve (T8).
+    outer_loop: where the outer defect-correction loop runs — "device"
+        (one jitted program: ``lax.while_loop`` with on-device convergence
+        check and history recording; no host round-trip per cycle),
+        "host" (Python loop, one sync per cycle — required for verbose
+        streaming and checkpointing), or "auto" (default: device unless
+        verbose or checkpointing asks for the host loop).
     format: operator storage for the cycle — "auto" (stencil fast path
         when the matrix is grid-structured, else ELL), or force one of
         "stencil" | "ell" | "csr" | "bsr" (the padded-static-nnz general
@@ -70,6 +76,7 @@ class SolverConfig:
     min_coarse_dim: int = 1
     format: str = "auto"
     blocksize: int = 4
+    outer_loop: str = "auto"
     verbose: bool = False
 
     @staticmethod
@@ -97,6 +104,7 @@ class SolverConfig:
             "min_coarse_dim",
             "format",
             "blocksize",
+            "outer_loop",
         ):
             if extra in p:
                 known[extra] = p.pop(extra)

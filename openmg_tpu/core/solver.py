@@ -100,36 +100,143 @@ class Solver:
     def grid_shape(self):
         return self.hierarchy.grid_shape
 
-    def solve(self, b, x0=None):
+    def solve(
+        self,
+        b,
+        x0=None,
+        *,
+        checkpoint_path=None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+    ):
         """Solve ``A x = b`` to the configured threshold.
 
         ``b`` is grid-shaped (or flat; it is reshaped).  Returns
         ``(x, info)`` with the per-cycle residual-norm history (component
         R10/T15 observability surface).
+
+        Result type follows the input (see :meth:`_deliver`): numpy/f64
+        ``b`` → exact float64 numpy ``x`` (reference-parity surface);
+        float32 jax-array ``b`` → float32 device ``x`` (device-native
+        surface; the full-precision pair is in ``info['x_df']``).
+
+        Checkpoint/resume (SURVEY.md §5.4): with ``checkpoint_path``, the
+        full-precision iterate + cycle counter are written atomically every
+        ``checkpoint_every`` cycles; ``resume=True`` restarts from the file
+        when it exists (the config hash is validated — a checkpoint resumes
+        only into an identical solver on an identical problem).
         """
         cfg = self.config
         h = self.hierarchy
         shape = self.grid_shape
         df = self.residual_mode == "doublefloat"
-        b_np = np.asarray(b, dtype=np.float64).reshape(shape)
+
+        # Keep device-resident inputs on device: a float32 jax array splits
+        # exactly as (b, 0) with no host round-trip (H2D of a 256³ array
+        # through this environment's relay costs ~10× the whole solve).
+        if isinstance(b, jax.Array) and b.dtype == jnp.float32:
+            b_np = None
+        else:
+            b_np = np.asarray(b, dtype=np.float64).reshape(shape)
         x0_np = (
-            np.zeros(shape)
+            None
             if x0 is None
             else np.asarray(x0, dtype=np.float64).reshape(shape)
         )
+
+        cfg_hash = None
+        history = []
+        start_cycle = 0
+        if checkpoint_path is not None:
+            from openmg_tpu.utils.checkpoint import (
+                config_hash,
+                load_checkpoint,
+                save_checkpoint,
+            )
+            import os
+
+            cfg_hash = config_hash(cfg, shape)
+            if resume and os.path.exists(checkpoint_path):
+                x0_np, start_cycle, loaded = load_checkpoint(
+                    checkpoint_path, cfg_hash
+                )
+                x0_np = x0_np.reshape(shape)
+                history = loaded
+
         if df:
-            b_dev = df_split(b_np)
-            x = df_split(x0_np)
+            if b_np is None:
+                b32 = b.reshape(shape)
+                b_dev = (b32, jnp.zeros(shape, jnp.float32))
+            else:
+                b_dev = df_split(b_np)
+            x = (
+                (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+                if x0_np is None
+                else df_split(x0_np)
+            )
         else:
-            b_dev = jnp.asarray(b_np, dtype=self.residual_mode)
-            x = jnp.asarray(x0_np, dtype=self.residual_mode)
+            b_dev = (
+                b.reshape(shape).astype(self.residual_mode)
+                if b_np is None
+                else jnp.asarray(b_np, dtype=self.residual_mode)
+            )
+            x = (
+                jnp.zeros(shape, self.residual_mode)
+                if x0_np is None
+                else jnp.asarray(x0_np, dtype=self.residual_mode)
+            )
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
-        history = []
+
+        # Device-side outer loop (the default fast path): the whole solve —
+        # cycles, residuals, convergence check, history — is ONE jitted
+        # program; no host round-trip per cycle.  The host loop below is
+        # kept for verbose streaming and checkpoint/resume.
+        use_device_loop = checkpoint_path is None and (
+            cfg.outer_loop == "device"
+            or (cfg.outer_loop == "auto" and not cfg.verbose)
+        )
+        if use_device_loop:
+            t_start = time.perf_counter()
+            x, k_fin, hist, done = _solve_device(
+                h,
+                b_dev,
+                x,
+                limit=limit,
+                threshold=float(cfg.threshold),
+                pre=cfg.pre_iterations,
+                post=cfg.post_iterations,
+                smoother=cfg.smoother,
+                omega=cfg.omega,
+                cycle_dtype=self.dtype,
+                df=df,
+            )
+            k_fin = int(k_fin)
+            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            solve_time = time.perf_counter() - t_start
+            n_cycles = max(k_fin - 1, 0)
+            info = {
+                "residual_norms": history,
+                "cycles": n_cycles,
+                "converged": bool(done),
+                "final_norm": history[-1] if history else float("nan"),
+                "gridlevels": h.num_levels,
+                "level_stats": h.stats,
+                "transfer": h.transfer.name,
+                "residual_mode": (
+                    "doublefloat" if df else str(self.residual_mode)
+                ),
+                "cycle_times_s": [],
+                "mean_cycle_time_s": solve_time / max(n_cycles, 1),
+                "outer_loop": "device",
+                "solve_time_s": solve_time,
+            }
+            return self._deliver(x, df, b_np is None, info), info
+
         cycle_times = []
         converged = False
         t_start = time.perf_counter()
-        for k in range(limit + 1):
+        for k in range(start_cycle, limit + 1):
             if df:
                 r_pair, rnorm = _residual_norm_df(
                     h.fine_hi, h.fine_hi_lo, b_dev, x
@@ -155,8 +262,15 @@ class Solver:
                 x = x + e.astype(self.residual_mode)
                 x.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
+            if checkpoint_path is not None and (k + 1) % checkpoint_every == 0:
+                save_checkpoint(
+                    checkpoint_path,
+                    df_merge(x) if df else np.asarray(x, dtype=np.float64),
+                    k + 1,
+                    history,
+                    cfg_hash,
+                )
 
-        x_out = df_merge(x) if df else np.asarray(x, dtype=np.float64)
         info = {
             "residual_norms": history,
             "cycles": len(history) - 1,
@@ -167,9 +281,132 @@ class Solver:
             "transfer": h.transfer.name,
             "residual_mode": "doublefloat" if df else str(self.residual_mode),
             "cycle_times_s": cycle_times,
+            "mean_cycle_time_s": (
+                float(np.mean(cycle_times[1:] or cycle_times))
+                if cycle_times
+                else float("nan")
+            ),
+            "outer_loop": "host",
             "solve_time_s": time.perf_counter() - t_start,
         }
-        return jnp.asarray(x_out), info
+        return self._deliver(x, df, b_np is None, info), info
+
+    @staticmethod
+    def _deliver(x, df, device_native, info):
+        """Result delivery policy: a host caller (numpy/f64 input — the
+        reference-parity path) gets the exact float64 merge on host; a
+        device-native caller (f32 jax-array input) gets the f32 solution
+        as a device array with the full-precision ``(hi, lo)`` pair in
+        ``info['x_df']`` — never a device→host→device round trip (H2D/D2H
+        of a 256³ array costs ~10× the whole solve on a remote-attached
+        TPU)."""
+        if not df:
+            if device_native:
+                return x
+            return np.asarray(x, dtype=np.float64)
+        if device_native:
+            info["x_df"] = x
+            return x[0]
+        return df_merge(x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "limit",
+        "threshold",
+        "pre",
+        "post",
+        "smoother",
+        "omega",
+        "cycle_dtype",
+        "df",
+    ),
+)
+def _solve_device(
+    h, b, x, *, limit, threshold, pre, post, smoother, omega, cycle_dtype, df
+):
+    """Whole-solve program: outer defect-correction loop as a
+    ``lax.while_loop`` with a device-side convergence check and in-loop
+    residual-history recording.  ONE dispatch per solve — through this
+    environment's remote TPU relay each separate jitted call costs ~3 ms
+    of fixed overhead plus a host round-trip for the norm check, which
+    dominated per-cycle cost (measured: 36 ms/cycle host-looped vs the
+    ~6 ms of actual device work at 256³).
+
+    ``x`` is the iterate pytree — a ``(hi, lo)`` double-float pair when
+    ``df`` else a plain array.  History slot k holds ‖r‖ *before* cycle
+    k; semantics match the host loop cycle for cycle.
+    """
+    from jax import lax
+
+    def resid(xx):
+        if df:
+            r_pair, rn = _residual_norm_df_t(h.fine_hi, h.fine_hi_lo, b, xx)
+            return r_pair[0], rn
+        return _residual_norm_t(h.fine_hi, b, xx)
+
+    def apply_cycle(xx, r):
+        e = v_cycle(
+            h,
+            r.astype(cycle_dtype),
+            jnp.zeros(r.shape, cycle_dtype),
+            0,
+            pre,
+            post,
+            smoother,
+            omega,
+        )
+        if df:
+            return df_add_f32(xx, e)
+        return xx + e.astype(b.dtype)
+
+    hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
+
+    def cond_fn(st):
+        _, k, _, done = st
+        return jnp.logical_and(jnp.logical_not(done), k <= limit)
+
+    def body_fn(st):
+        xx, k, hist, _ = st
+        r, rn = resid(xx)
+        hist = hist.at[k].set(rn.astype(jnp.float32))
+        done = rn < threshold
+        do_cycle = jnp.logical_and(jnp.logical_not(done), k < limit)
+        xx = lax.cond(
+            do_cycle,
+            lambda op: apply_cycle(op[0], op[1]),
+            lambda op: op[0],
+            (xx, r),
+        )
+        return (xx, k + 1, hist, done)
+
+    x, k, hist, done = lax.while_loop(
+        cond_fn, body_fn, (x, jnp.int32(0), hist0, jnp.bool_(False))
+    )
+    return x, k, hist, done
+
+
+def _residual_norm_t(fine_hi, b, x):
+    r = b - stencil_apply(fine_hi, x)
+    # sqrt-of-sum rather than jnp.linalg.norm: norm lowers to a dot, and
+    # float64 dots hit an emulated-f64 MXU path whose backend compile time
+    # is pathological on the TPU relay (measured ~4 min for a length-64
+    # vector); the elementwise reduction compiles in <1 s and is exact.
+    return r, jnp.sqrt(jnp.sum(r * r))
+
+
+def _residual_norm_df_t(A_hi, A_lo, b_df, x_df):
+    """Double-float residual ``r = b − A x`` with compensated accumulation;
+    all-f32 VPU code (the TPU-native 1e-10 path).  Works for both varying
+    and constant operators (scalar coefficients broadcast)."""
+    acc = b_df
+    for k, off in enumerate(A_hi.offsets):
+        xs = (shift(x_df[0], off), shift(x_df[1], off))
+        term = df_mul((A_hi.coeff(k), A_lo.coeff(k)), xs)
+        acc = df_sub(acc, term)
+    rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
+    return acc, rn
 
 
 @functools.partial(
@@ -190,28 +427,8 @@ def _cycle_step(hierarchy, r, *, pre, post, smoother, omega, cycle_dtype):
     )
 
 
-@jax.jit
-def _residual_norm(fine_hi, b, x):
-    r = b - stencil_apply(fine_hi, x)
-    # sqrt-of-sum rather than jnp.linalg.norm: norm lowers to a dot, and
-    # float64 dots hit an emulated-f64 MXU path whose backend compile time
-    # is pathological on the TPU relay (measured ~4 min for a length-64
-    # vector); the elementwise reduction compiles in <1 s and is exact.
-    return r, jnp.sqrt(jnp.sum(r * r))
-
-
-@jax.jit
-def _residual_norm_df(A_hi, A_lo, b_df, x_df):
-    """Double-float residual ``r = b − A x`` with compensated accumulation;
-    all-f32 VPU code (the TPU-native 1e-10 path).  Works for both varying
-    and constant operators (scalar coefficients broadcast)."""
-    acc = b_df
-    for k, off in enumerate(A_hi.offsets):
-        xs = (shift(x_df[0], off), shift(x_df[1], off))
-        term = df_mul((A_hi.coeff(k), A_lo.coeff(k)), xs)
-        acc = df_sub(acc, term)
-    rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
-    return acc, rn
+_residual_norm = jax.jit(_residual_norm_t)
+_residual_norm_df = jax.jit(_residual_norm_df_t)
 
 
 def setup(problem, config: SolverConfig | None = None) -> Solver:

@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["supports", "jacobi_const_3d", "rbgs_const_3d"]
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # conservative; blocks are double-buffered
+_VMEM_BUDGET = 14 * 1024 * 1024  # of 16 MB/core; blocks are double-buffered
+# (measured on the v5e chip: tz=8 at 256² planes fits and is ~6% faster
+# than the tz=4 a 10 MB budget allowed)
 
 
 def _pick_tz(shape) -> int:

@@ -278,6 +278,59 @@ def _dist_residual_df(
     return acc[0], acc[1], jnp.sqrt(nsq)
 
 
+def _dist_solve_loop(
+    level_data,
+    coarse_inv,
+    c_hi,
+    c_lo,
+    b_hi,
+    b_lo,
+    x_hi,
+    x_lo,
+    *,
+    limit,
+    threshold,
+    res_kwargs,
+    cycle_kwargs,
+):
+    """Whole-solve loop, per-device body under shard_map: residuals, the
+    distributed V-cycle, the convergence check, and the history are all one
+    program — no host round-trip per cycle (mirrors core.solver's
+    ``_solve_device``; see its docstring for why).  ``k``/``hist``/``done``
+    are computed from the psum-replicated norm, hence identical on every
+    device."""
+    hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
+
+    def cond_fn(st):
+        _, _, k, _, done = st
+        return jnp.logical_and(jnp.logical_not(done), k <= limit)
+
+    def body_fn(st):
+        xh, xl, k, hist, _ = st
+        r_hi, _, rn = _dist_residual_df(
+            c_hi, c_lo, b_hi, b_lo, xh, xl, **res_kwargs
+        )
+        hist = hist.at[k].set(rn.astype(jnp.float32))
+        done = rn < threshold
+        do_cycle = jnp.logical_and(jnp.logical_not(done), k < limit)
+
+        def run(ops):
+            xh_, xl_, r_ = ops
+            e = _dist_v_cycle(level_data, coarse_inv, r_, **cycle_kwargs)
+            return df_add_f32((xh_, xl_), e)
+
+        xh, xl = lax.cond(
+            do_cycle, run, lambda ops: (ops[0], ops[1]), (xh, xl, r_hi)
+        )
+        return (xh, xl, k + 1, hist, done)
+
+    return lax.while_loop(
+        cond_fn,
+        body_fn,
+        (x_hi, x_lo, jnp.int32(0), hist0, jnp.bool_(False)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -445,6 +498,50 @@ class DistributedSolver:
             )
         )
 
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        solve_impl = functools.partial(
+            _dist_solve_loop,
+            limit=limit,
+            threshold=float(cfg.threshold),
+            res_kwargs=dict(
+                offsets=self.offsets_per_level[0],
+                axis_name=self.axis_name,
+                n_dev=self.n_dev,
+                part=self.plan[0],
+            ),
+            cycle_kwargs=dict(
+                offsets_per_level=self.offsets_per_level,
+                const_plan=self.const_plan,
+                coarsened_axes=self.coarsened_axes,
+                plan=self.plan,
+                transfer=self.transfer,
+                pre=cfg.pre_iterations,
+                post=cfg.post_iterations,
+                smoother=cfg.smoother,
+                omega=cfg.omega,
+                axis_name=self.axis_name,
+                n_dev=self.n_dev,
+                overlap=self.mesh_config.overlap_halo,
+            ),
+        )
+        self._solve_loop = jax.jit(
+            jax.shard_map(
+                solve_impl,
+                mesh=mesh,
+                in_specs=(
+                    level_specs,
+                    P(),
+                    coef_spec,
+                    coef_spec,
+                    vec,
+                    vec,
+                    vec,
+                    vec,
+                ),
+                out_specs=(vec, vec, P(), P(), P()),
+            )
+        )
+
     def _put_vec(self, arr):
         _, vec = self._specs()
         return jax.device_put(arr, NamedSharding(self.mesh, vec))
@@ -462,6 +559,43 @@ class DistributedSolver:
         b_hi, b_lo = self._put_vec(b_hi), self._put_vec(b_lo)
         x_hi, x_lo = df_split(x0_np)
         x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
+
+        # device-side outer loop (one dispatch per solve); host loop below
+        # streams verbose per-cycle norms
+        if not cfg.verbose and cfg.outer_loop != "host":
+            t_start = time.perf_counter()
+            x_hi, x_lo, k_fin, hist, done = self._solve_loop(
+                self.level_data,
+                self.coarse_inv,
+                self.fine_hi,
+                self.fine_lo,
+                b_hi,
+                b_lo,
+                x_hi,
+                x_lo,
+            )
+            k_fin = int(k_fin)
+            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            solve_time = time.perf_counter() - t_start
+            n_cycles = max(k_fin - 1, 0)
+            x_out = df_merge((x_hi, x_lo))
+            info = {
+                "residual_norms": history,
+                "cycles": n_cycles,
+                "converged": bool(done),
+                "final_norm": history[-1] if history else float("nan"),
+                "gridlevels": len(self.level_data),
+                "level_stats": self.stats,
+                "transfer": self.transfer.name,
+                "residual_mode": "doublefloat",
+                "partition_plan": self.plan,
+                "n_devices": self.n_dev,
+                "cycle_times_s": [],
+                "mean_cycle_time_s": solve_time / max(n_cycles, 1),
+                "outer_loop": "device",
+                "solve_time_s": solve_time,
+            }
+            return x_out, info
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
         history, cycle_times = [], []
@@ -499,9 +633,15 @@ class DistributedSolver:
             "partition_plan": self.plan,
             "n_devices": self.n_dev,
             "cycle_times_s": cycle_times,
+            "mean_cycle_time_s": (
+                float(np.mean(cycle_times[1:] or cycle_times))
+                if cycle_times
+                else float("nan")
+            ),
+            "outer_loop": "host",
             "solve_time_s": time.perf_counter() - t_start,
         }
-        return jnp.asarray(x_out), info
+        return x_out, info
 
 
 def distributed_setup(

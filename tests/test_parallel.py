@@ -199,3 +199,30 @@ def test_distributed_rejects_indivisible():
     single = setup((12, 12), cfg)  # 12 % 8 != 0
     with pytest.raises(ValueError):
         DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
+
+
+def test_distributed_device_loop_matches_host_loop():
+    """The one-dispatch while_loop solve == the per-cycle host loop."""
+    import dataclasses
+
+    shape = (32, 16)
+    cfg = SolverConfig(
+        transfer="linear", cycles=60, gridlevels=3, max_dense_coarse=4096
+    )
+    b = rhs_random(shape, seed=7)
+    dev = distributed_setup(shape, cfg, MeshConfig(n_devices=4))
+    x_d, info_d = dev.solve(b)
+    assert info_d["outer_loop"] == "device"
+    host = distributed_setup(
+        shape,
+        dataclasses.replace(cfg, outer_loop="host"),
+        MeshConfig(n_devices=4),
+    )
+    x_h, info_h = host.solve(b)
+    assert info_h.get("outer_loop", "host") == "host"
+    assert info_d["cycles"] == info_h["cycles"]
+    assert info_d["converged"] == info_h["converged"]
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_h), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        info_d["residual_norms"], info_h["residual_norms"], rtol=1e-6
+    )
