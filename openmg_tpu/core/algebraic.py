@@ -56,6 +56,7 @@ __all__ = [
     "SparseHierarchy",
     "build_sparse_hierarchy",
     "sparse_v_cycle",
+    "sparse_fmg_cycle",
     "AlgebraicSolver",
     "setup_sparse",
     "parity_colors",
@@ -322,27 +323,64 @@ def sparse_v_cycle(
     post: int = 2,
     smoother: str = "jacobi",
     omega: float = 2.0 / 3.0,
+    gamma: int = 1,
 ):
-    """One V-cycle on flat vectors; unrolls at trace time (T7)."""
+    """One µ-cycle on flat vectors (``gamma=1`` → V, 2 → W); unrolls at
+    trace time (T7)."""
     L = hierarchy.levels[level]
     if level == hierarchy.num_levels - 1:
         return hierarchy.coarse_inv @ b
     x = _smooth_sparse(L, b, x, pre, smoother, omega)
     r = b - spmv(L.A, x)
     bc = spmv(L.R, r)
-    ec = sparse_v_cycle(
-        hierarchy, bc, jnp.zeros_like(bc), level + 1, pre, post, smoother, omega
-    )
+    ec = jnp.zeros_like(bc)
+    visits = 1 if level == hierarchy.num_levels - 2 else gamma
+    for _ in range(visits):
+        ec = sparse_v_cycle(
+            hierarchy, bc, ec, level + 1, pre, post, smoother, omega, gamma
+        )
     x = x + spmv(L.P, ec)
     x = _smooth_sparse(L, b, x, post, smoother, omega)
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("pre", "post", "smoother", "omega"))
-def _sparse_cycle_step(hierarchy, r, *, pre, post, smoother, omega):
+def sparse_fmg_cycle(
+    hierarchy: SparseHierarchy,
+    b,
+    pre: int = 2,
+    post: int = 2,
+    smoother: str = "jacobi",
+    omega: float = 2.0 / 3.0,
+):
+    """Full-multigrid pass from a zero guess (cf. core.cycle.fmg_cycle)."""
+    bs = [b]
+    for L in hierarchy.levels[:-1]:
+        bs.append(spmv(L.R, bs[-1]))
+    x = hierarchy.coarse_inv @ bs[-1]
+    for lvl in range(hierarchy.num_levels - 2, -1, -1):
+        x = spmv(hierarchy.levels[lvl].P, x)
+        x = sparse_v_cycle(
+            hierarchy, bs[lvl], x, lvl, pre, post, smoother, omega
+        )
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pre", "post", "smoother", "cycle_type", "omega"),
+)
+def _sparse_cycle_step(
+    hierarchy, r, *, pre, post, smoother, cycle_type, omega
+):
     r32 = r.astype(hierarchy.levels[0].inv_diag.dtype)
+    if cycle_type == "f":
+        return sparse_fmg_cycle(hierarchy, r32, pre, post, smoother, omega)
+    gamma = {"v": 1, "w": 2}.get(cycle_type)
+    if gamma is None:
+        raise ValueError(f"unknown cycle_type {cycle_type!r}; choose v|w|f")
     return sparse_v_cycle(
-        hierarchy, r32, jnp.zeros_like(r32), 0, pre, post, smoother, omega
+        hierarchy, r32, jnp.zeros_like(r32), 0, pre, post, smoother, omega,
+        gamma,
     )
 
 
@@ -378,6 +416,7 @@ class AlgebraicSolver:
             pre=config.pre_iterations,
             post=config.post_iterations,
             smoother=config.smoother,
+            cycle_type=config.cycle_type,
             omega=config.omega,
         )
 

@@ -29,6 +29,10 @@ class SolverConfig:
     cycles: max outer V-cycles (0 → unlimited-with-safety-cap).
     threshold: absolute ‖r‖₂ convergence target (reference semantics).
     smoother: "jacobi" | "rbgs".
+    cycle_type: "v" (reference-parity V-cycle) | "w" (W-cycle: two coarse
+        visits per level — more robust, ~2x coarse work) | "f" (full
+        multigrid: coarsest-first pass, ~1.3x a V-cycle per pass and
+        roughly halves the outer cycle count).
     omega: weighted-Jacobi damping (2/3 is optimal for 1D Poisson; a robust
         all-round default).
     dtype: cycle computation dtype (f32 on TPU).
@@ -67,6 +71,7 @@ class SolverConfig:
     cycles: int = 100
     threshold: float = 1e-10
     smoother: str = "rbgs"
+    cycle_type: str = "v"
     omega: float = 2.0 / 3.0
     transfer: str = "aggregate"  # "aggregate" (reference-parity) | "linear"
     dtype: str = "float32"
@@ -95,6 +100,7 @@ class SolverConfig:
         for extra in (
             "post_iterations",
             "smoother",
+            "cycle_type",
             "omega",
             "transfer",
             "dtype",

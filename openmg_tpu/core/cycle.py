@@ -1,10 +1,22 @@
-"""V-cycle engine (components R6, T7, T8).
+"""Cycle engine: V / W / FMG (components R6, T7, T8).
 
 The reference's ``mg_cycle`` is a recursive Python function (SURVEY.md
 §3.2).  Here the recursion unrolls at *trace* time over the static level
 list — per-level shapes differ, so the "recursion" becomes straight-line
 multi-level code inside a single jitted XLA program; there is no dynamic
 control flow on device.
+
+Beyond the reference's V-cycle, two standard stronger cycles ship
+(selected by ``SolverConfig.cycle_type``):
+
+* **W-cycle** (``gamma=2``): each level visits its coarser level twice —
+  more robust for hard problems at ~2× coarse-level work (cheap in 3D,
+  where each level is 1/8 the size).
+* **FMG** (full multigrid, "f"): restrict the rhs to every level, solve
+  the coarsest exactly, then work back up — prolongate and run one
+  V-cycle per level.  One FMG pass costs ~1.3× a V-cycle and contracts
+  the error like ~2 V-cycles, so as the defect-correction preconditioner
+  it cuts outer cycles roughly in half.
 """
 
 from __future__ import annotations
@@ -16,7 +28,7 @@ from openmg_tpu.ops.smoothers import smooth
 from openmg_tpu.ops.stencil import apply, residual
 from openmg_tpu.ops.transfer import prolong, restrict
 
-__all__ = ["v_cycle", "coarse_solve"]
+__all__ = ["v_cycle", "fmg_cycle", "coarse_solve", "run_cycle"]
 
 
 def coarse_solve(hierarchy: Hierarchy, b):
@@ -36,8 +48,10 @@ def v_cycle(
     post: int = 2,
     smoother: str = "rbgs",
     omega: float = 2.0 / 3.0,
+    gamma: int = 1,
 ):
-    """One V-cycle starting at ``level``; returns the improved ``x``.
+    """One µ-cycle starting at ``level`` (``gamma=1`` → V, 2 → W);
+    returns the improved ``x``.
 
     All loop/recursion bounds are static; under ``jax.jit`` this traces to
     one straight-line multi-level program (T7).
@@ -48,16 +62,73 @@ def v_cycle(
     x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
     r = residual(L.A, b, x)
     bc = restrict(r, hierarchy.transfer)
-    ec = v_cycle(
-        hierarchy,
-        bc,
-        jnp.zeros_like(bc),
-        level + 1,
-        pre,
-        post,
-        smoother,
-        omega,
-    )
+    ec = jnp.zeros_like(bc)
+    # µ recursive visits; at the level just above the coarsest a second
+    # visit would re-run the exact solve on an (near-)unchanged residual,
+    # so W-cycles fall back to one visit there (standard optimization)
+    visits = 1 if level == hierarchy.num_levels - 2 else gamma
+    for _ in range(visits):
+        ec = v_cycle(
+            hierarchy,
+            bc,
+            ec,
+            level + 1,
+            pre,
+            post,
+            smoother,
+            omega,
+            gamma,
+        )
     x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
     x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega)
     return x
+
+
+def fmg_cycle(
+    hierarchy: Hierarchy,
+    b,
+    pre: int = 2,
+    post: int = 2,
+    smoother: str = "rbgs",
+    omega: float = 2.0 / 3.0,
+    gamma: int = 1,
+):
+    """One full-multigrid pass for ``A x = b`` from a zero initial guess
+    (the defect-correction outer loop always solves from zero, so FMG
+    needs no ``x`` argument): restrict ``b`` to every level, solve the
+    coarsest exactly, then prolongate upward with one µ-cycle per level.
+    """
+    bs = [b]
+    for lvl in range(hierarchy.num_levels - 1):
+        bs.append(restrict(bs[-1], hierarchy.transfer))
+    x = coarse_solve(hierarchy, bs[-1])
+    for lvl in range(hierarchy.num_levels - 2, -1, -1):
+        shape = hierarchy.levels[lvl].grid_shape
+        x = prolong(x, shape, hierarchy.transfer)
+        x = v_cycle(
+            hierarchy, bs[lvl], x, lvl, pre, post, smoother, omega, gamma
+        )
+    return x
+
+
+def run_cycle(
+    hierarchy: Hierarchy,
+    r,
+    cycle_type: str = "v",
+    pre: int = 2,
+    post: int = 2,
+    smoother: str = "rbgs",
+    omega: float = 2.0 / 3.0,
+):
+    """Error-correction cycle ``e ≈ A⁻¹ r`` from zero, by cycle type."""
+    if cycle_type == "v":
+        return v_cycle(
+            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 1
+        )
+    if cycle_type == "w":
+        return v_cycle(
+            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 2
+        )
+    if cycle_type == "f":
+        return fmg_cycle(hierarchy, r, pre, post, smoother, omega, 1)
+    raise ValueError(f"unknown cycle_type {cycle_type!r}; choose v|w|f")

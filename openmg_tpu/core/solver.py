@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from openmg_tpu.core.config import ProblemConfig, SolverConfig
-from openmg_tpu.core.cycle import v_cycle
+from openmg_tpu.core.cycle import run_cycle, v_cycle
 from openmg_tpu.core.hierarchy import Hierarchy, build_hierarchy
 from openmg_tpu.models.poisson import poisson_stencil, stencil_from_csr
 from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
@@ -92,6 +92,7 @@ class Solver:
             pre=config.pre_iterations,
             post=config.post_iterations,
             smoother=config.smoother,
+            cycle_type=config.cycle_type,
             omega=config.omega,
             cycle_dtype=self.dtype,
         )
@@ -163,17 +164,14 @@ class Solver:
                 x0_np = x0_np.reshape(shape)
                 history = loaded
 
+        # None components (zero x0 / exactly-representable rhs lo part) are
+        # materialized inside the device programs, not transferred
         if df:
             if b_np is None:
-                b32 = b.reshape(shape)
-                b_dev = (b32, jnp.zeros(shape, jnp.float32))
+                b_dev = (b.reshape(shape), None)
             else:
                 b_dev = df_split(b_np)
-            x = (
-                (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-                if x0_np is None
-                else df_split(x0_np)
-            )
+            x = None if x0_np is None else df_split(x0_np)
         else:
             b_dev = (
                 b.reshape(shape).astype(self.residual_mode)
@@ -181,7 +179,7 @@ class Solver:
                 else jnp.asarray(b_np, dtype=self.residual_mode)
             )
             x = (
-                jnp.zeros(shape, self.residual_mode)
+                None
                 if x0_np is None
                 else jnp.asarray(x0_np, dtype=self.residual_mode)
             )
@@ -207,6 +205,7 @@ class Solver:
                 pre=cfg.pre_iterations,
                 post=cfg.post_iterations,
                 smoother=cfg.smoother,
+                cycle_type=cfg.cycle_type,
                 omega=cfg.omega,
                 cycle_dtype=self.dtype,
                 df=df,
@@ -232,6 +231,15 @@ class Solver:
                 "solve_time_s": solve_time,
             }
             return self._deliver(x, df, b_np is None, info), info
+
+        # the host loop consumes concrete arrays
+        if df:
+            if b_dev[1] is None:
+                b_dev = (b_dev[0], jnp.zeros_like(b_dev[0]))
+            if x is None:
+                x = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        elif x is None:
+            x = jnp.zeros(shape, self.residual_mode)
 
         cycle_times = []
         converged = False
@@ -318,13 +326,26 @@ class Solver:
         "pre",
         "post",
         "smoother",
+        "cycle_type",
         "omega",
         "cycle_dtype",
         "df",
     ),
 )
 def _solve_device(
-    h, b, x, *, limit, threshold, pre, post, smoother, omega, cycle_dtype, df
+    h,
+    b,
+    x,
+    *,
+    limit,
+    threshold,
+    pre,
+    post,
+    smoother,
+    cycle_type,
+    omega,
+    cycle_dtype,
+    df,
 ):
     """Whole-solve program: outer defect-correction loop as a
     ``lax.while_loop`` with a device-side convergence check and in-loop
@@ -335,10 +356,23 @@ def _solve_device(
     ~6 ms of actual device work at 256³).
 
     ``x`` is the iterate pytree — a ``(hi, lo)`` double-float pair when
-    ``df`` else a plain array.  History slot k holds ‖r‖ *before* cycle
-    k; semantics match the host loop cycle for cycle.
+    ``df`` else a plain array; ``None`` components (zero initial guess /
+    exactly-representable rhs) are materialized *inside* the program —
+    a host-side ``jnp.zeros`` costs ~9 ms per grid array through the
+    remote relay.  History slot k holds ‖r‖ *before* cycle k; semantics
+    match the host loop cycle for cycle.
     """
     from jax import lax
+
+    if df:
+        b_hi, b_lo = b
+        if b_lo is None:
+            b_lo = jnp.zeros_like(b_hi)
+        b = (b_hi, b_lo)
+        if x is None:
+            x = (jnp.zeros_like(b_hi), jnp.zeros_like(b_hi))
+    elif x is None:
+        x = jnp.zeros_like(b)
 
     def resid(xx):
         if df:
@@ -347,15 +381,8 @@ def _solve_device(
         return _residual_norm_t(h.fine_hi, b, xx)
 
     def apply_cycle(xx, r):
-        e = v_cycle(
-            h,
-            r.astype(cycle_dtype),
-            jnp.zeros(r.shape, cycle_dtype),
-            0,
-            pre,
-            post,
-            smoother,
-            omega,
+        e = run_cycle(
+            h, r.astype(cycle_dtype), cycle_type, pre, post, smoother, omega
         )
         if df:
             return df_add_f32(xx, e)
@@ -410,20 +437,22 @@ def _residual_norm_df_t(A_hi, A_lo, b_df, x_df):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pre", "post", "smoother", "omega", "cycle_dtype")
+    jax.jit,
+    static_argnames=(
+        "pre",
+        "post",
+        "smoother",
+        "cycle_type",
+        "omega",
+        "cycle_dtype",
+    ),
 )
-def _cycle_step(hierarchy, r, *, pre, post, smoother, omega, cycle_dtype):
-    """One error-correction V-cycle: e = V(r, 0) in the cycle dtype."""
-    r32 = r.astype(cycle_dtype)
-    return v_cycle(
-        hierarchy,
-        r32,
-        jnp.zeros_like(r32),
-        0,
-        pre,
-        post,
-        smoother,
-        omega,
+def _cycle_step(
+    hierarchy, r, *, pre, post, smoother, cycle_type, omega, cycle_dtype
+):
+    """One error-correction cycle: e = cycle(r, 0) in the cycle dtype."""
+    return run_cycle(
+        hierarchy, r.astype(cycle_dtype), cycle_type, pre, post, smoother, omega
     )
 
 

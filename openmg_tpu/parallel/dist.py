@@ -176,6 +176,7 @@ def _dist_v_cycle(
     axis_name,
     n_dev,
     overlap: bool = True,
+    gamma: int = 1,
 ):
     num_levels = len(level_data)
 
@@ -214,7 +215,10 @@ def _dist_v_cycle(
         if plan[level] and not plan[level + 1]:
             # redistribution: gather the (still locally-blocked) coarse rhs
             bc = lax.all_gather(bc, axis_name, axis=0, tiled=True)
-        ec = vc(level + 1, bc, jnp.zeros_like(bc))
+        ec = jnp.zeros_like(bc)
+        visits = 1 if level == num_levels - 2 else gamma
+        for _ in range(visits):
+            ec = vc(level + 1, bc, ec)
         # prolongation back up
         if plan[level]:
             if plan[level + 1]:
@@ -354,6 +358,12 @@ class DistributedSolver:
             raise ValueError(
                 "distributed solver requires residual_dtype='doublefloat'"
             )
+        if config.cycle_type not in ("v", "w"):
+            raise ValueError(
+                f"distributed solver supports cycle_type 'v'|'w', got "
+                f"{config.cycle_type!r} (FMG needs per-level rhs "
+                "redistribution; use the single-device solver)"
+            )
         self.config = config
         self.mesh_config = mesh_config or MeshConfig()
         self.mesh = make_mesh(
@@ -463,6 +473,7 @@ class DistributedSolver:
             axis_name=self.axis_name,
             n_dev=self.n_dev,
             overlap=self.mesh_config.overlap_halo,
+            gamma={"v": 1, "w": 2}[cfg.cycle_type],
         )
         self._cycle = jax.jit(
             jax.shard_map(
@@ -522,6 +533,7 @@ class DistributedSolver:
                 axis_name=self.axis_name,
                 n_dev=self.n_dev,
                 overlap=self.mesh_config.overlap_halo,
+                gamma={"v": 1, "w": 2}[cfg.cycle_type],
             ),
         )
         self._solve_loop = jax.jit(

@@ -1,0 +1,117 @@
+"""W-cycle and FMG cycle types (stencil + sparse engines + distributed)."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from openmg_tpu import SolverConfig, setup
+from openmg_tpu.core.algebraic import setup_sparse
+from openmg_tpu.models.poisson import poisson, rhs_random
+
+
+def _direct(shape, b):
+    A = poisson(shape)
+    return spla.spsolve(A.tocsc(), np.asarray(b, dtype=np.float64).ravel())
+
+
+@pytest.mark.parametrize("cycle_type", ["v", "w", "f"])
+def test_cycle_types_converge_to_direct(cycle_type):
+    shape = (32, 32)
+    b = rhs_random(shape, seed=0)
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", cycle_type=cycle_type, cycles=60
+    )
+    x, info = setup(shape, cfg).solve(b)
+    assert info["converged"], info["residual_norms"]
+    x_dir = _direct(shape, b)
+    err = np.linalg.norm(np.asarray(x).ravel() - x_dir) / np.linalg.norm(x_dir)
+    assert err < 1e-9
+
+
+def test_fmg_needs_fewer_cycles_than_v():
+    shape = (64, 64)
+    b = rhs_random(shape, seed=1)
+    infos = {}
+    for ct in ("v", "f"):
+        cfg = SolverConfig(
+            smoother="rbgs", transfer="linear", cycle_type=ct, cycles=60
+        )
+        _, infos[ct] = setup(shape, cfg).solve(b)
+    assert infos["f"]["converged"] and infos["v"]["converged"]
+    assert infos["f"]["cycles"] < infos["v"]["cycles"]
+
+
+def test_w_cycle_not_weaker_than_v():
+    """W contracts at least as fast as V per cycle (aggregate transfer,
+    where the cycle is weak enough for the difference to show)."""
+    shape = (64, 64)
+    b = rhs_random(shape, seed=2)
+    cycles = {}
+    for ct in ("v", "w"):
+        cfg = SolverConfig(
+            smoother="rbgs", transfer="aggregate", cycle_type=ct,
+            cycles=400, gridlevels=4,
+        )
+        _, info = setup(shape, cfg).solve(b)
+        assert info["converged"]
+        cycles[ct] = info["cycles"]
+    assert cycles["w"] <= cycles["v"]
+
+
+@pytest.mark.parametrize("cycle_type", ["w", "f"])
+def test_sparse_engine_cycle_types(cycle_type):
+    shape = (16, 16)
+    A = poisson(shape)
+    b = rhs_random(shape, seed=3)
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        cycle_type=cycle_type,
+        cycles=60,
+        gridlevels=3,
+        format="ell",
+        max_dense_coarse=4096,
+    )
+    solver = setup_sparse(A, shape, cfg)
+    x, info = solver.solve(b)
+    assert info["converged"]
+    x_dir = _direct(shape, b)
+    err = np.linalg.norm(np.asarray(x).ravel() - x_dir) / np.linalg.norm(x_dir)
+    assert err < 1e-8
+
+
+def test_distributed_w_cycle_matches_single_device():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs fake multi-device mesh")
+    from openmg_tpu.core.config import MeshConfig
+    from openmg_tpu.parallel.dist import DistributedSolver, distributed_setup
+
+    shape = (32, 32)
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", cycle_type="w",
+        cycles=60, gridlevels=3, max_dense_coarse=4096,
+    )
+    b = rhs_random(shape, seed=4)
+    x1, info1 = setup(shape, cfg).solve(b)
+    d = distributed_setup(shape, cfg, MeshConfig(n_devices=4))
+    x4, info4 = d.solve(b)
+    assert info4["converged"] == info1["converged"]
+    assert abs(info4["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x4), np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_distributed_rejects_fmg():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs fake multi-device mesh")
+    from openmg_tpu.core.config import MeshConfig
+    from openmg_tpu.parallel.dist import distributed_setup
+
+    cfg = SolverConfig(cycle_type="f", gridlevels=2, max_dense_coarse=4096)
+    with pytest.raises(ValueError, match="cycle_type"):
+        distributed_setup((16, 16), cfg, MeshConfig(n_devices=2))
