@@ -34,7 +34,14 @@ from openmg_tpu.core.config import ProblemConfig, SolverConfig
 from openmg_tpu.core.cycle import run_cycle, v_cycle
 from openmg_tpu.core.hierarchy import Hierarchy, build_hierarchy
 from openmg_tpu.models.poisson import poisson_stencil, stencil_from_csr
-from openmg_tpu.ops.doublefloat import df_add_f32, df_merge, df_mul, df_split, df_sub
+from openmg_tpu.ops.doublefloat import (
+    df_add_f32,
+    df_merge,
+    df_mul,
+    df_split,
+    df_sub,
+    pow2_terms,
+)
 from openmg_tpu.ops.stencil import apply as stencil_apply
 from openmg_tpu.ops.stencil import shift
 from openmg_tpu.ops.transfer import TRANSFERS
@@ -87,6 +94,11 @@ class Solver:
                 "hierarchy was not built with residual_dtype='doublefloat'"
             )
 
+        self._exact_terms = (
+            exact_residual_terms(hierarchy)
+            if self.residual_mode == "doublefloat"
+            else None
+        )
         self._cycle = functools.partial(
             _cycle_step,
             pre=config.pre_iterations,
@@ -209,6 +221,7 @@ class Solver:
                 omega=cfg.omega,
                 cycle_dtype=self.dtype,
                 df=df,
+                exact_terms=self._exact_terms,
             )
             k_fin = int(k_fin)
             history = [float(v) for v in np.asarray(hist[:k_fin])]
@@ -246,9 +259,14 @@ class Solver:
         t_start = time.perf_counter()
         for k in range(start_cycle, limit + 1):
             if df:
-                r_pair, rnorm = _residual_norm_df(
-                    h.fine_hi, h.fine_hi_lo, b_dev, x
-                )
+                if self._exact_terms is not None:
+                    r_pair, rnorm = _residual_norm_df_exact(
+                        h.fine_hi.offsets, self._exact_terms, b_dev, x
+                    )
+                else:
+                    r_pair, rnorm = _residual_norm_df(
+                        h.fine_hi, h.fine_hi_lo, b_dev, x
+                    )
                 r = r_pair[0]
             else:
                 r, rnorm = _residual_norm(h.fine_hi, b_dev, x)
@@ -330,6 +348,7 @@ class Solver:
         "omega",
         "cycle_dtype",
         "df",
+        "exact_terms",
     ),
 )
 def _solve_device(
@@ -346,6 +365,7 @@ def _solve_device(
     omega,
     cycle_dtype,
     df,
+    exact_terms=None,
 ):
     """Whole-solve program: outer defect-correction loop as a
     ``lax.while_loop`` with a device-side convergence check and in-loop
@@ -376,7 +396,14 @@ def _solve_device(
 
     def resid(xx):
         if df:
-            r_pair, rn = _residual_norm_df_t(h.fine_hi, h.fine_hi_lo, b, xx)
+            if exact_terms is not None:
+                r_pair, rn = _residual_norm_df_exact_t(
+                    h.fine_hi.offsets, exact_terms, b, xx
+                )
+            else:
+                r_pair, rn = _residual_norm_df_t(
+                    h.fine_hi, h.fine_hi_lo, b, xx
+                )
             return r_pair[0], rn
         return _residual_norm_t(h.fine_hi, b, xx)
 
@@ -415,7 +442,9 @@ def _solve_device(
 
 
 def _residual_norm_t(fine_hi, b, x):
-    r = b - stencil_apply(fine_hi, x)
+    from openmg_tpu.ops.stencil import residual as stencil_residual
+
+    r = stencil_residual(fine_hi, b, x)
     # sqrt-of-sum rather than jnp.linalg.norm: norm lowers to a dot, and
     # float64 dots hit an emulated-f64 MXU path whose backend compile time
     # is pathological on the TPU relay (measured ~4 min for a length-64
@@ -434,6 +463,40 @@ def _residual_norm_df_t(A_hi, A_lo, b_df, x_df):
         acc = df_sub(acc, term)
     rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
     return acc, rn
+
+
+def _residual_norm_df_exact_t(offsets, terms, b_df, x_df):
+    """Double-float residual for a constant operator whose taps are sums
+    of signed powers of two (``terms[k] = pow2_terms(values[k])``, static):
+    every product ``p·x`` is exact in f32, so the whole Dekker two_prod
+    machinery drops away and only compensated adds remain — ~2.5× fewer
+    VPU flops than :func:`_residual_norm_df_t` (measured 6.7 → ~2.5 ms at
+    256³).  Exactness: scaling both components of a double-float by the
+    same power of two preserves the non-overlapping (hi, lo) invariant."""
+    acc = b_df
+    for off, tp in zip(offsets, terms):
+        xh = shift(x_df[0], off)
+        xl = shift(x_df[1], off)
+        for p in tp:
+            pf = jnp.float32(p)
+            acc = df_sub(acc, (pf * xh, pf * xl))
+    rn = jnp.sqrt(jnp.sum(acc[0] * acc[0]))
+    return acc, rn
+
+
+def exact_residual_terms(hierarchy):
+    """Static per-tap power-of-two decompositions of the fine operator, or
+    None when the exact fast path does not apply (varying coefficients, a
+    nonzero double-float lo part, or non-dyadic taps)."""
+    fh, fl = hierarchy.fine_hi, hierarchy.fine_hi_lo
+    if fl is None or not fh.is_constant or not fl.is_constant:
+        return None
+    if np.any(np.asarray(fl.values)):
+        return None
+    terms = tuple(pow2_terms(float(v)) for v in np.asarray(fh.values))
+    if any(t is None for t in terms):
+        return None
+    return terms
 
 
 @functools.partial(
@@ -458,6 +521,9 @@ def _cycle_step(
 
 _residual_norm = jax.jit(_residual_norm_t)
 _residual_norm_df = jax.jit(_residual_norm_df_t)
+_residual_norm_df_exact = jax.jit(
+    _residual_norm_df_exact_t, static_argnums=(0, 1)
+)
 
 
 def setup(problem, config: SolverConfig | None = None) -> Solver:

@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
+    "pow2_terms",
     "df_split",
     "df_merge",
     "two_sum",
@@ -42,6 +43,28 @@ __all__ = [
 
 # Dekker splitting constant for f32 (p=24): 2^ceil(p/2) + 1
 _SPLIT = np.float32(4097.0)
+
+
+def pow2_terms(v, max_terms: int = 3):
+    """Decompose ``v`` into a sum of ≤ ``max_terms`` signed powers of two,
+    or None.  A power-of-two factor makes ``p·x`` *exact* in f32 (no
+    mantissa bits added), so a double-float multiply by such a ``v``
+    degenerates to exact scalings + compensated adds — the basis of the
+    fast-path residual for Poisson-family stencils, whose taps are all of
+    this form (±1 and 2d = 2, 4, 4+2)."""
+    import math
+
+    r = float(v)
+    if r != np.float64(np.float32(r)):
+        return None  # not exactly representable
+    out = []
+    for _ in range(max_terms):
+        if r == 0.0:
+            return tuple(out)
+        a = math.copysign(2.0 ** math.floor(math.log2(abs(r))), r)
+        out.append(a)
+        r -= a
+    return tuple(out) if r == 0.0 else None
 
 
 def df_split(a) -> tuple:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supports", "jacobi_const_3d", "rbgs_const_3d"]
+__all__ = ["supports", "jacobi_const_3d", "rbgs_const_3d", "residual_const_3d"]
 
 _VMEM_BUDGET = 14 * 1024 * 1024  # of 16 MB/core; blocks are double-buffered
 # (measured on the v5e chip: tz=8 at 256² planes fits and is ~6% faster
@@ -136,6 +136,8 @@ def _smoother_kernel(
     if mode == "jacobi":
         om = jnp.asarray(omega, dtype=t.dtype)
         out_ref[...] = t + om * (inv_d * (b - acc))
+    elif mode == "residual":
+        out_ref[...] = b - acc
     else:
         xn = inv_d * (b - acc)
         # global parity: (i*tz + iz) + iy + ix
@@ -189,6 +191,14 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(vals2d, x, x, x, b)
+
+
+def residual_const_3d(values, offsets, b, x):
+    """Fused residual ``r = b − A x`` (R5) for a 3D constant stencil."""
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep(
+        values, b, x, offsets=offsets, mode="residual", omega=0.0, color=0
+    )
 
 
 def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):

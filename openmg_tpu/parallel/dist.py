@@ -260,6 +260,7 @@ def _dist_residual_df(
     axis_name,
     n_dev,
     part,
+    exact_terms=None,
 ):
     def coeff(data, k):
         return data[k]  # (K,) scalar row or (K, *grid) block — both index k
@@ -274,8 +275,15 @@ def _dist_residual_df(
         samples = [(shift(x_hi, o), shift(x_lo, o)) for o in offsets]
     acc = (b_hi, b_lo)
     for k, xs in enumerate(samples):
-        term = df_mul((coeff(c_hi, k), coeff(c_lo, k)), xs)
-        acc = df_sub(acc, term)
+        if exact_terms is not None:
+            # power-of-two taps: products are exact, only compensated
+            # adds needed (see core.solver._residual_norm_df_exact_t)
+            for p in exact_terms[k]:
+                pf = jnp.float32(p)
+                acc = df_sub(acc, (pf * xs[0], pf * xs[1]))
+        else:
+            term = df_mul((coeff(c_hi, k), coeff(c_lo, k)), xs)
+            acc = df_sub(acc, term)
     nsq = jnp.sum(acc[0] * acc[0])
     if n_dev > 1:
         nsq = lax.psum(nsq, axis_name)
@@ -423,6 +431,9 @@ class DistributedSolver:
             for i, l in enumerate(hierarchy.levels)
         )
         self.coarse_inv = put(hierarchy.coarse_inv, False, 0)
+        from openmg_tpu.core.solver import exact_residual_terms
+
+        self._exact_terms = exact_residual_terms(hierarchy)
         self.fine_hi = coeff_data(hierarchy.fine_hi, self.plan[0])
         self.fine_lo = coeff_data(hierarchy.fine_hi_lo, self.plan[0])
         self.fine_const = hierarchy.fine_hi.is_constant
@@ -490,6 +501,7 @@ class DistributedSolver:
             axis_name=self.axis_name,
             n_dev=self.n_dev,
             part=self.plan[0],
+            exact_terms=self._exact_terms,
         )
         gd = len(self.grid_shape)
         if self.fine_const:
@@ -519,6 +531,7 @@ class DistributedSolver:
                 axis_name=self.axis_name,
                 n_dev=self.n_dev,
                 part=self.plan[0],
+                exact_terms=self._exact_terms,
             ),
             cycle_kwargs=dict(
                 offsets_per_level=self.offsets_per_level,

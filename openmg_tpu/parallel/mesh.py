@@ -59,6 +59,10 @@ def initialize_distributed(**kwargs) -> None:
         jax.distributed.initialize(**kwargs)
     except RuntimeError:
         pass  # already initialized
+    except ValueError:
+        # single-process environment with no coordinator (e.g. local CPU
+        # or a lone chip): nothing to bootstrap — a true no-op
+        pass
 
 
 def row_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:

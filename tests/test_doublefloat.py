@@ -83,3 +83,58 @@ def test_df_mul_f32_and_add_f32():
     got2 = df.df_merge(df.df_add_f32(x, c))
     expected2 = a + np.float64(np.float32(3.7))
     np.testing.assert_allclose(got2, expected2, rtol=1e-13)
+
+
+class TestPow2Terms:
+    def test_decompositions(self):
+        from openmg_tpu.ops.doublefloat import pow2_terms
+
+        assert pow2_terms(-1.0) == (-1.0,)
+        assert pow2_terms(4.0) == (4.0,)
+        assert pow2_terms(6.0) == (4.0, 2.0)
+        assert pow2_terms(-6.0) == (-4.0, -2.0)
+        assert pow2_terms(0.75) == (0.5, 0.25)
+        assert pow2_terms(7.0) == (4.0, 2.0, 1.0)
+        assert pow2_terms(0.0) == ()
+        assert pow2_terms(6.5) == (4.0, 2.0, 0.5)
+        assert pow2_terms(6.75) is None  # needs 4 terms
+        assert pow2_terms(1.1) is None  # not dyadic
+
+
+class TestExactResidual:
+    def test_matches_generic_and_f64_oracle(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from openmg_tpu.core.solver import (
+            _residual_norm_df_exact_t,
+            _residual_norm_df_t,
+            exact_residual_terms,
+        )
+        from openmg_tpu import SolverConfig, setup
+        from openmg_tpu.models.poisson import poisson, rhs_random
+        from openmg_tpu.ops.doublefloat import df_merge, df_split
+
+        shape = (16, 16, 16)
+        s = setup(shape, SolverConfig(residual_dtype="doublefloat"))
+        h = s.hierarchy
+        terms = exact_residual_terms(h)
+        assert terms is not None  # 3D Poisson taps are (4,2) and (-1,)
+
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(shape)
+        x = rng.standard_normal(shape)
+        b_df, x_df = df_split(b), df_split(x)
+
+        r_e, n_e = _residual_norm_df_exact_t(
+            h.fine_hi.offsets, terms, b_df, x_df
+        )
+        r_g, n_g = _residual_norm_df_t(h.fine_hi, h.fine_hi_lo, b_df, x_df)
+
+        # f64 oracle
+        A = poisson(shape)
+        r64 = b.ravel() - A @ x.ravel()
+        for r_pair in (r_e, r_g):
+            err = np.abs(df_merge(r_pair).ravel() - r64)
+            assert err.max() < 1e-12 * max(1.0, np.abs(r64).max())
+        np.testing.assert_allclose(float(n_e), float(n_g), rtol=1e-10)

@@ -71,3 +71,15 @@ def test_full_27pt_stencil():
     got = np.asarray(kernels.jacobi_const_3d(vals, offsets, b, x, 2, 0.8))
     want = np.asarray(jacobi(op, jnp.float32(1 / 30.0), b, x, 2, 0.8))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_residual_kernel_matches_jnp(shape):
+    from openmg_tpu.ops.stencil import apply
+
+    op = _const_op(shape)
+    b = jnp.asarray(rhs_random(shape, seed=4), jnp.float32)
+    x = jnp.asarray(rhs_random(shape, seed=5), jnp.float32)
+    got = np.asarray(kernels.residual_const_3d(op.values, op.offsets, b, x))
+    want = np.asarray(b - apply(op, x))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
