@@ -122,7 +122,7 @@ def greedy_colors(A) -> np.ndarray:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("A", "inv_diag", "R", "P", "colors"),
+    data_fields=("A", "inv_diag", "R", "P", "colors", "lam_max"),
     meta_fields=("num_colors",),
 )
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +131,8 @@ class SparseLevel:
 
     ``R``/``P`` map this level to/from the next-coarser one (None at the
     coarsest level); ``colors`` is the GS coloring (None when smoothing
-    with Jacobi).
+    with Jacobi); ``lam_max`` is the setup-time Gershgorin bound on
+    λmax(D⁻¹A) used by the Chebyshev smoother.
     """
 
     A: object  # ELLMatrix | CSRMatrix | BSRMatrix
@@ -140,6 +141,7 @@ class SparseLevel:
     P: object | None
     colors: jax.Array | None  # (n,) int32
     num_colors: int
+    lam_max: jax.Array | None = None  # scalar
 
     @property
     def n(self) -> int:
@@ -251,6 +253,8 @@ def build_sparse_hierarchy(
         # few taps per row — ELL is the natural layout)
         R = ell_from_scipy(Rs[lvl], dtype=dtype) if lvl < gridlevels - 1 else None
         P = ell_from_scipy(Ps[lvl], dtype=dtype) if lvl < gridlevels - 1 else None
+        abs_off = np.asarray(np.abs(Al).sum(axis=1)).ravel() - np.abs(diag)
+        lam_max = 1.0 + float(np.max(abs_off / np.abs(diag)))
         levels.append(
             SparseLevel(
                 A=Adev,
@@ -263,6 +267,7 @@ def build_sparse_hierarchy(
                 num_colors=(
                     int(colors_np.max()) + 1 if colors_np is not None else 0
                 ),
+                lam_max=jnp.asarray(lam_max, dtype=dtype),
             )
         )
         k_stat = Adev.kb if fmt == "bsr" else Adev.k if fmt == "ell" else 0
@@ -299,6 +304,21 @@ def build_sparse_hierarchy(
 
 def _smooth_sparse(level: SparseLevel, b, x, iterations: int, smoother, omega):
     if iterations <= 0:
+        return x
+    if smoother == "chebyshev":
+        # 4th-kind Chebyshev (ops.smoothers.chebyshev) on flat vectors;
+        # Gershgorin λmax precomputed at setup from the scipy operator
+        lam = level.lam_max
+        r = b - spmv(level.A, x)
+        d = (4.0 / 3.0) / lam * level.inv_diag * r
+        for k in range(1, iterations + 1):
+            x = x + d
+            if k == iterations:
+                break
+            r = r - spmv(level.A, d)
+            d = ((2 * k - 1) / (2 * k + 3)) * d + (
+                (8 * k + 4) / (2 * k + 3)
+            ) / lam * level.inv_diag * r
         return x
     if smoother == "jacobi" or level.colors is None:
         om = jnp.asarray(omega, dtype=x.dtype)

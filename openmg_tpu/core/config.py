@@ -28,7 +28,10 @@ class SolverConfig:
         build default 1 for a symmetric cycle).
     cycles: max outer V-cycles (0 → unlimited-with-safety-cap).
     threshold: absolute ‖r‖₂ convergence target (reference semantics).
-    smoother: "jacobi" | "rbgs".
+    smoother: "jacobi" | "rbgs" | "chebyshev" (4th-kind Chebyshev
+        polynomial smoothing — order-free like Jacobi but with an
+        optimal-polynomial damping schedule; `iterations` is the
+        polynomial degree).
     cycle_type: "v" (reference-parity V-cycle) | "w" (W-cycle: two coarse
         visits per level — more robust, ~2x coarse work) | "f" (full
         multigrid: coarsest-first pass, ~1.3x a V-cycle per pass and

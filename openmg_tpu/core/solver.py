@@ -415,6 +415,58 @@ def _solve_device(
             return df_add_f32(xx, e)
         return xx + e.astype(b.dtype)
 
+    # Fused fast path: one Pallas pass per cycle does the double-float
+    # update x ← x + e AND the exact-terms residual r = b − A x′ (plus
+    # the first-cycle residual before the loop).  Replaces ~12 jnp array
+    # streams per cycle with 8 fused ones.
+    if df and exact_terms is not None:
+        from openmg_tpu.ops import kernels as _kernels
+
+        if _kernels.supports_fused_update(h.fine_hi.offsets, b[0].shape):
+            offs = h.fine_hi.offsets
+            r0_pair, rn0 = _residual_norm_df_exact_t(offs, exact_terms, b, x)
+            hist0 = (
+                jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
+                .at[0]
+                .set(rn0.astype(jnp.float32))
+            )
+
+            def fcond(st):
+                _, _, k, _, done = st
+                return jnp.logical_and(jnp.logical_not(done), k < limit)
+
+            def fbody(st):
+                (xh, xl), r, k, hist, _ = st
+                e = run_cycle(
+                    h,
+                    r.astype(cycle_dtype),
+                    cycle_type,
+                    pre,
+                    post,
+                    smoother,
+                    omega,
+                )
+                xh, xl, r2 = _kernels.df_update_residual_const_3d(
+                    offs, exact_terms, xh, xl, e, b[0], b[1]
+                )
+                rn = jnp.sqrt(jnp.sum(r2 * r2))
+                k = k + 1
+                hist = hist.at[k].set(rn.astype(jnp.float32))
+                return (xh, xl), r2, k, hist, rn < threshold
+
+            (xh, xl), _, k, hist, done = lax.while_loop(
+                fcond,
+                fbody,
+                (
+                    (x[0], x[1]),
+                    r0_pair[0],
+                    jnp.int32(0),
+                    hist0,
+                    rn0 < threshold,
+                ),
+            )
+            return (xh, xl), k + 1, hist, done
+
     hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
 
     def cond_fn(st):

@@ -26,9 +26,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from openmg_tpu.ops.stencil import StencilOperator, apply, diag_index, shift
+from openmg_tpu.ops.stencil import (
+    StencilOperator,
+    apply,
+    diag_index,
+    residual,
+    shift,
+)
 
-__all__ = ["jacobi", "rbgs", "red_mask", "parity_mask_expr", "smooth"]
+__all__ = [
+    "jacobi",
+    "rbgs",
+    "chebyshev",
+    "gershgorin_lambda_max",
+    "red_mask",
+    "parity_mask_expr",
+    "smooth",
+]
 
 
 def parity_mask_expr(shape):
@@ -105,6 +119,68 @@ def rbgs(
     return x
 
 
+def gershgorin_lambda_max(op: StencilOperator, inv_diag):
+    """Upper bound on λmax(D⁻¹A): ``max_i (1 + Σ_j≠i |a_ij| / a_ii)``.
+
+    Scalar expression for constant stencils (zero runtime cost under jit);
+    one fused reduction for varying ones.  Exactly 2 for Poisson.
+    """
+    di = diag_index(op.offsets)
+    if op.is_constant:
+        offsum = sum(
+            jnp.abs(op.values[k])
+            for k in range(op.num_offsets)
+            if k != di
+        )
+        return 1.0 + offsum * jnp.abs(inv_diag)
+    offsum = None
+    for k in range(op.num_offsets):
+        if k == di:
+            continue
+        t = jnp.abs(op.coeffs[k])
+        offsum = t if offsum is None else offsum + t
+    return 1.0 + jnp.max(offsum * jnp.abs(inv_diag))
+
+
+def chebyshev(
+    op: StencilOperator,
+    inv_diag,
+    b,
+    x,
+    iterations: int,
+    lam_max=None,
+):
+    """Fourth-kind Chebyshev polynomial smoother (PAPERS.md: "Optimal
+    Polynomial Smoothers for Parallel AMG"; Lottes' 4th-kind scheme).
+
+    K iterations of ``x ← x + d_k`` with the d-recurrence
+
+        d_1 = 4/(3 λmax) · D⁻¹ r₀
+        d_{k+1} = (2k−1)/(2k+3) · d_k + (8k+4)/((2k+3) λmax) · D⁻¹ r_k
+
+    damps the whole upper half of the spectrum optimally in the 4th-kind
+    Chebyshev sense; K=1 with λmax=2 is exactly ω=2/3 weighted Jacobi
+    (pinned by tests).  Order-free (pure Jacobi building blocks), so it
+    distributes exactly like Jacobi.  Each iteration costs one A-apply —
+    the ``residual`` fast path (Pallas on constant 3D stencils) computes
+    both the initial residual and the ``r ← r − A d`` updates.
+    """
+    if lam_max is None:
+        lam_max = gershgorin_lambda_max(op, inv_diag)
+    lam_max = jnp.asarray(lam_max, dtype=x.dtype)
+    r = residual(op, b, x)
+    d = (4.0 / 3.0) / lam_max * inv_diag * r
+    for k in range(1, iterations + 1):
+        x = x + d
+        if k == iterations:
+            break
+        r = residual(op, r, d)  # r ← r − A d
+        d = ((2 * k - 1) / (2 * k + 3)) * d + (
+            (8 * k + 4) / (2 * k + 3)
+        ) / lam_max * inv_diag * r
+    return x
+
+
 def smooth(
     name: str,
     op: StencilOperator,
@@ -117,7 +193,7 @@ def smooth(
 ):
     if iterations <= 0:
         return x
-    if use_pallas and op.is_constant:
+    if use_pallas and op.is_constant and x.dtype == jnp.float32:
         from openmg_tpu.ops import kernels
 
         if kernels.supports(op.offsets, x.shape):
@@ -131,4 +207,6 @@ def smooth(
         return jacobi(op, inv_diag, b, x, iterations, omega)
     if name == "rbgs":
         return rbgs(op, inv_diag, b, x, iterations)
+    if name == "chebyshev":
+        return chebyshev(op, inv_diag, b, x, iterations)
     raise ValueError(f"unknown smoother {name!r}")

@@ -138,7 +138,7 @@ def residual(op: StencilOperator, b: jax.Array, x: jax.Array) -> jax.Array:
     jnp shift chain measured ~5× slower at 256³); everything else falls
     back to ``b − apply(A, x)``.
     """
-    if op.is_constant:
+    if op.is_constant and x.dtype == jnp.float32:
         from openmg_tpu.ops import kernels
 
         if kernels.supports(op.offsets, x.shape):

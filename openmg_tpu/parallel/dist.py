@@ -133,6 +133,26 @@ def _smooth_part(
                 xn = inv_diag * (b - off_sum)
                 x = jnp.where(m, xn, x)
         return x
+    if name == "chebyshev":
+        # 4th-kind Chebyshev (see ops.smoothers.chebyshev) on partitioned
+        # blocks; pure Jacobi building blocks, so it distributes exactly
+        from openmg_tpu.ops.smoothers import gershgorin_lambda_max
+
+        lam = gershgorin_lambda_max(op, inv_diag)
+        if not op.is_constant:
+            lam = lax.pmax(lam, axis_name)  # one global polynomial
+        lam = jnp.asarray(lam, dtype=x.dtype)
+        r = b - _apply_dist(op, x, axis_name, n_dev, overlap)
+        d = (4.0 / 3.0) / lam * inv_diag * r
+        for k in range(1, iterations + 1):
+            x = x + d
+            if k == iterations:
+                break
+            r = r - _apply_dist(op, d, axis_name, n_dev, overlap)
+            d = ((2 * k - 1) / (2 * k + 3)) * d + (
+                (8 * k + 4) / (2 * k + 3)
+            ) / lam * inv_diag * r
+        return x
     raise ValueError(f"unknown smoother {name!r}")
 
 

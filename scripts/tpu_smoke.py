@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Compiled-path smoke test on the real TPU chip.
+
+CI runs the Pallas kernels in interpreter mode on CPU (tests/conftest.py);
+this script exercises the *compiled* Mosaic path on the attached chip and
+cross-checks every kernel against its jnp reference, then runs one full
+solve.  Exit code 0 = all checks passed.
+
+    python scripts/tpu_smoke.py [--shape 64 64 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def check(name, got, want, atol=2e-5):
+    got, want = np.asarray(got), np.asarray(want)
+    err = np.max(np.abs(got - want)) if got.size else 0.0
+    ok = err <= atol
+    print(f"  {name:28s} max|Δ| = {err:.2e}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=3, default=[64, 64, 128])
+    args = ap.parse_args()
+    shape = tuple(args.shape)
+
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0].device_kind})")
+    if backend != "tpu":
+        print("WARNING: no TPU attached — exercising the interpreter path")
+
+    from openmg_tpu.models.poisson import poisson_offsets, rhs_random
+    from openmg_tpu.ops import kernels
+    from openmg_tpu.ops.doublefloat import df_add_f32, df_split, pow2_terms
+    from openmg_tpu.ops.smoothers import jacobi, rbgs
+    from openmg_tpu.ops.stencil import StencilOperator, apply
+    from openmg_tpu.core.solver import _residual_norm_df_exact_t
+
+    offsets = poisson_offsets(3)
+    vals = jnp.asarray([6.0] + [-1.0] * 6, dtype=jnp.float32)
+    op = StencilOperator(None, offsets, vals, shape)
+    inv_d = jnp.float32(1.0 / 6.0)
+    b = jnp.asarray(rhs_random(shape, seed=0), jnp.float32)
+    x = jnp.asarray(rhs_random(shape, seed=1), jnp.float32)
+
+    ok = True
+    assert kernels.supports(offsets, shape), f"{shape} unsupported"
+    print("kernels (compiled vs jnp):")
+    ok &= check(
+        "jacobi x3",
+        kernels.jacobi_const_3d(vals, offsets, b, x, 3, 2 / 3),
+        jacobi(op, inv_d, b, x, 3, 2 / 3),
+    )
+    ok &= check(
+        "rbgs x2",
+        kernels.rbgs_const_3d(vals, offsets, b, x, 2),
+        rbgs(op, inv_d, b, x, 2),
+    )
+    ok &= check(
+        "residual",
+        kernels.residual_const_3d(vals, offsets, b, x),
+        b - apply(op, x),
+    )
+    if kernels.supports_fused_update(offsets, shape):
+        terms = tuple(pow2_terms(float(v)) for v in np.asarray(vals))
+        rng = np.random.default_rng(7)
+        b_df = df_split(rng.standard_normal(shape))
+        x_df = df_split(rng.standard_normal(shape))
+        e = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        xh, xl, r = kernels.df_update_residual_const_3d(
+            offsets, terms, x_df[0], x_df[1], e, b_df[0], b_df[1]
+        )
+        x2 = df_add_f32(x_df, e)
+        r2, _ = _residual_norm_df_exact_t(offsets, terms, b_df, x2)
+        ok &= check("df update+residual (xh)", xh, x2[0], atol=0)
+        ok &= check("df update+residual (r)", r, r2[0], atol=1e-5)
+
+    print("full solve:")
+    from openmg_tpu import SolverConfig, setup
+
+    cfg = SolverConfig(smoother="rbgs", transfer="linear", cycles=60)
+    solver = setup(shape, cfg)
+    bb = rhs_random(shape, seed=2)
+    bb = bb / np.linalg.norm(bb.ravel())
+    _, info = solver.solve(bb)
+    print(
+        f"  cycles={info['cycles']} final={info['final_norm']:.2e} "
+        f"converged={info['converged']}"
+    )
+    ok &= info["converged"]
+
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

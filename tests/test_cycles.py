@@ -115,3 +115,76 @@ def test_distributed_rejects_fmg():
     cfg = SolverConfig(cycle_type="f", gridlevels=2, max_dense_coarse=4096)
     with pytest.raises(ValueError, match="cycle_type"):
         distributed_setup((16, 16), cfg, MeshConfig(n_devices=2))
+
+
+class TestChebyshev:
+    def test_k1_equals_jacobi_two_thirds(self):
+        """4th-kind Chebyshev with K=1 and λmax=2 is exactly ω=2/3 Jacobi."""
+        import jax.numpy as jnp
+
+        from openmg_tpu.ops.smoothers import chebyshev, jacobi
+        from openmg_tpu.ops.stencil import StencilOperator
+        from openmg_tpu.models.poisson import poisson_offsets
+
+        shape = (16, 16)
+        vals = jnp.asarray([4.0, -1.0, -1.0, -1.0, -1.0], dtype=jnp.float32)
+        op = StencilOperator(None, poisson_offsets(2), vals, shape)
+        inv_d = jnp.float32(0.25)
+        b = jnp.asarray(rhs_random(shape, seed=0), jnp.float32)
+        x = jnp.asarray(rhs_random(shape, seed=1), jnp.float32)
+        got = chebyshev(op, inv_d, b, x, 1)
+        want = jacobi(op, inv_d, b, x, 1, 2.0 / 3.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_converges_to_direct(self, dim):
+        shape = (32,) * dim if dim == 2 else (16, 16, 16)
+        b = rhs_random(shape, seed=5)
+        cfg = SolverConfig(smoother="chebyshev", transfer="linear", cycles=60)
+        x, info = setup(shape, cfg).solve(b)
+        assert info["converged"]
+        x_dir = _direct(shape, b)
+        err = np.linalg.norm(np.asarray(x).ravel() - x_dir) / np.linalg.norm(
+            x_dir
+        )
+        assert err < 1e-9
+
+    def test_sparse_engine_chebyshev(self):
+        shape = (16, 16)
+        A = poisson(shape)
+        b = rhs_random(shape, seed=6)
+        cfg = SolverConfig(
+            smoother="chebyshev", transfer="linear", cycles=60,
+            gridlevels=3, format="ell", max_dense_coarse=4096,
+        )
+        x, info = setup_sparse(A, shape, cfg).solve(b)
+        assert info["converged"]
+        err = np.linalg.norm(
+            np.asarray(x).ravel() - _direct(shape, b)
+        ) / np.linalg.norm(_direct(shape, b))
+        assert err < 1e-8
+
+    def test_distributed_chebyshev_matches_single(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs fake multi-device mesh")
+        from openmg_tpu.core.config import MeshConfig
+        from openmg_tpu.parallel.dist import distributed_setup
+
+        shape = (32, 32)
+        cfg = SolverConfig(
+            smoother="chebyshev", transfer="linear", cycles=60,
+            gridlevels=3, max_dense_coarse=4096,
+        )
+        b = rhs_random(shape, seed=7)
+        x1, info1 = setup(shape, cfg).solve(b)
+        d = distributed_setup(shape, cfg, MeshConfig(n_devices=4))
+        x4, info4 = d.solve(b)
+        assert info4["converged"] == info1["converged"]
+        assert abs(info4["cycles"] - info1["cycles"]) <= 1
+        np.testing.assert_allclose(
+            np.asarray(x4), np.asarray(x1), rtol=1e-8, atol=1e-10
+        )

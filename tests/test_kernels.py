@@ -83,3 +83,63 @@ def test_residual_kernel_matches_jnp(shape):
     got = np.asarray(kernels.residual_const_3d(op.values, op.offsets, b, x))
     want = np.asarray(b - apply(op, x))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_df_update_residual_kernel_matches_jnp():
+    from openmg_tpu.core.solver import _residual_norm_df_exact_t
+    from openmg_tpu.ops.doublefloat import df_add_f32, df_split, pow2_terms
+
+    shape = (8, 8, 128)
+    op = _const_op(shape)
+    terms = tuple(pow2_terms(float(v)) for v in np.asarray(op.values))
+    assert kernels.supports_fused_update(op.offsets, shape)
+
+    rng = np.random.default_rng(7)
+    b_df = df_split(rng.standard_normal(shape))
+    x_df = df_split(rng.standard_normal(shape))
+    e = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    xh, xl, r = kernels.df_update_residual_const_3d(
+        op.offsets, terms, x_df[0], x_df[1], e, b_df[0], b_df[1]
+    )
+
+    x2 = df_add_f32(x_df, e)
+    r2, _ = _residual_norm_df_exact_t(op.offsets, terms, b_df, x2)
+    np.testing.assert_array_equal(np.asarray(xh), np.asarray(x2[0]))
+    np.testing.assert_array_equal(np.asarray(xl), np.asarray(x2[1]))
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(r2[0]), rtol=0, atol=1e-6
+    )
+
+
+def test_fused_device_loop_matches_host_loop_3d():
+    """Whole-solve fused path (pallas interpret) == host loop, 3D."""
+    import dataclasses
+
+    from openmg_tpu import SolverConfig, setup
+    from openmg_tpu.models.poisson import rhs_random
+
+    shape = (8, 8, 128)
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        gridlevels=3, max_dense_coarse=4096,
+    )
+    b = rhs_random(shape, seed=9)
+    s_dev = setup(shape, cfg)
+    assert s_dev._exact_terms is not None
+    x_d, info_d = s_dev.solve(b)
+    s_host = setup(shape, dataclasses.replace(cfg, outer_loop="host"))
+    x_h, info_h = s_host.solve(b)
+    assert info_d["converged"] and info_h["converged"]
+    assert info_d["cycles"] == info_h["cycles"]
+    np.testing.assert_allclose(
+        np.asarray(x_d), np.asarray(x_h), rtol=0, atol=1e-11
+    )
+    # near the ~1e-13 double-float floor the last entries feel summation
+    # order; everything above it agrees to f32 precision
+    np.testing.assert_allclose(
+        info_d["residual_norms"],
+        info_h["residual_norms"],
+        rtol=1e-4,
+        atol=1e-14,
+    )

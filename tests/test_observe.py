@@ -111,3 +111,16 @@ def test_checkpoint_refuses_different_solver(tmp_path):
     other = setup(shape, SolverConfig(smoother="rbgs", cycles=3))
     with pytest.raises(ValueError, match="hash"):
         other.solve(b, checkpoint_path=str(p), resume=True)
+
+
+def test_bitwise_deterministic_across_runs():
+    """SURVEY.md §5.2: the determinism story — two identical solves (fresh
+    setup each time) produce bit-identical iterates and norms."""
+    shape = (32, 32)
+    b = rhs_random(shape, seed=11)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear")
+    x1, i1 = setup(shape, cfg).solve(b)
+    x2, i2 = setup(shape, cfg).solve(b)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert i1["residual_norms"] == i2["residual_norms"]
+    assert i1["cycles"] == i2["cycles"]
