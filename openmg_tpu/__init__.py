@@ -29,6 +29,8 @@ from openmg_tpu.core.config import SolverConfig, ProblemConfig, MeshConfig
 from openmg_tpu.core.solver import mg_solve, solve, setup
 from openmg_tpu.core.hierarchy import build_hierarchy, Hierarchy, Level
 from openmg_tpu.models.poisson import (
+    diffusion,
+    diffusion_stencil,
     poisson,
     poisson_stencil,
     stencil_from_csr,
@@ -60,6 +62,8 @@ __all__ = [
     "Level",
     "poisson",
     "poisson_stencil",
+    "diffusion",
+    "diffusion_stencil",
     "stencil_from_csr",
     "stencil_to_csr",
     "StencilOperator",

@@ -385,11 +385,7 @@ def sparse_fmg_cycle(
     return x
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("pre", "post", "smoother", "cycle_type", "omega"),
-)
-def _sparse_cycle_step(
+def _sparse_cycle_impl(
     hierarchy, r, *, pre, post, smoother, cycle_type, omega
 ):
     r32 = r.astype(hierarchy.levels[0].inv_diag.dtype)
@@ -404,17 +400,91 @@ def _sparse_cycle_step(
     )
 
 
-@jax.jit
-def _sparse_residual_df(fine_hi, fine_lo, b_df, x_df):
+_sparse_cycle_step = jax.jit(
+    _sparse_cycle_impl,
+    static_argnames=("pre", "post", "smoother", "cycle_type", "omega"),
+)
+
+
+def _sparse_residual_df_t(fine_hi, fine_lo, b_df, x_df):
     ax = spmv_df(fine_hi, fine_lo, x_df[0], x_df[1])
     r = df_sub(b_df, ax)
     return r, jnp.sqrt(jnp.sum(r[0] * r[0]))
 
 
-@jax.jit
-def _sparse_residual(fine_hi, b, x):
+def _sparse_residual_t(fine_hi, b, x):
     r = b - spmv(fine_hi, x)
     return r, jnp.sqrt(jnp.sum(r * r))
+
+
+_sparse_residual_df = jax.jit(_sparse_residual_df_t)
+_sparse_residual = jax.jit(_sparse_residual_t)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "limit",
+        "threshold",
+        "pre",
+        "post",
+        "smoother",
+        "cycle_type",
+        "omega",
+        "df",
+    ),
+)
+def _sparse_solve_device(
+    h, b, x, *, limit, threshold, pre, post, smoother, cycle_type, omega, df
+):
+    """Whole-solve device program for the sparse engine — same structure
+    as core.solver._solve_device (one dispatch per solve; see its
+    docstring)."""
+    from jax import lax
+
+    def resid(xx):
+        if df:
+            r_pair, rn = _sparse_residual_df_t(h.fine_hi, h.fine_lo, b, xx)
+            return r_pair[0], rn
+        return _sparse_residual_t(h.fine_hi, b, xx)
+
+    def apply_cycle(xx, r):
+        e = _sparse_cycle_impl(
+            h,
+            r,
+            pre=pre,
+            post=post,
+            smoother=smoother,
+            cycle_type=cycle_type,
+            omega=omega,
+        )
+        if df:
+            return df_add_f32(xx, e)
+        return xx + e.astype(b.dtype)
+
+    hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
+
+    def cond_fn(st):
+        _, k, _, done = st
+        return jnp.logical_and(jnp.logical_not(done), k <= limit)
+
+    def body_fn(st):
+        xx, k, hist, _ = st
+        r, rn = resid(xx)
+        hist = hist.at[k].set(rn.astype(jnp.float32))
+        done = rn < threshold
+        do_cycle = jnp.logical_and(jnp.logical_not(done), k < limit)
+        xx = lax.cond(
+            do_cycle,
+            lambda op: apply_cycle(op[0], op[1]),
+            lambda op: op[0],
+            (xx, r),
+        )
+        return (xx, k + 1, hist, done)
+
+    return lax.while_loop(
+        cond_fn, body_fn, (x, jnp.int32(0), hist0, jnp.bool_(False))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +532,49 @@ class AlgebraicSolver:
             x = jnp.asarray(x0_np, dtype=rd)
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
+
+        # device-side outer loop (one dispatch; cf. core.solver)
+        if not cfg.verbose and cfg.outer_loop != "host":
+            t_start = time.perf_counter()
+            x, k_fin, hist, done = _sparse_solve_device(
+                h,
+                b_dev,
+                x,
+                limit=limit,
+                threshold=float(cfg.threshold),
+                pre=cfg.pre_iterations,
+                post=cfg.post_iterations,
+                smoother=cfg.smoother,
+                cycle_type=cfg.cycle_type,
+                omega=cfg.omega,
+                df=self.df,
+            )
+            k_fin = int(k_fin)
+            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            solve_time = time.perf_counter() - t_start
+            n_cycles = max(k_fin - 1, 0)
+            x_out = (
+                df_merge(x) if self.df else np.asarray(x, dtype=np.float64)
+            )
+            info = {
+                "residual_norms": history,
+                "cycles": n_cycles,
+                "converged": bool(done),
+                "final_norm": history[-1] if history else float("nan"),
+                "gridlevels": h.num_levels,
+                "level_stats": h.stats,
+                "format": h.fmt,
+                "residual_mode": (
+                    "doublefloat" if self.df else str(h.fine_hi.dtype)
+                ),
+                "num_colors": tuple(l.num_colors for l in h.levels),
+                "cycle_times_s": [],
+                "mean_cycle_time_s": solve_time / max(n_cycles, 1),
+                "outer_loop": "device",
+                "solve_time_s": solve_time,
+            }
+            return x_out, info
+
         history, cycle_times = [], []
         converged = False
         t_start = time.perf_counter()
@@ -508,6 +621,12 @@ class AlgebraicSolver:
             "residual_mode": "doublefloat" if self.df else str(h.fine_hi.dtype),
             "num_colors": tuple(l.num_colors for l in h.levels),
             "cycle_times_s": cycle_times,
+            "mean_cycle_time_s": (
+                float(np.mean(cycle_times[1:] or cycle_times))
+                if cycle_times
+                else float("nan")
+            ),
+            "outer_loop": "host",
             "solve_time_s": time.perf_counter() - t_start,
         }
         return x_out, info

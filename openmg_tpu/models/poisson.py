@@ -202,6 +202,62 @@ def stencil_from_csr(A, shape, max_offsets: int = 125):
     return offsets, coeffs
 
 
+def diffusion_stencil(kappa, harmonic: bool = True, dtype=np.float64):
+    """Variable-coefficient diffusion operator ``−∇·(κ∇u)`` on a regular
+    grid (Dirichlet), finite-volume form with face coefficients.
+
+    Beyond the reference's constant-coefficient Poisson (R1): exercises
+    the varying-coefficient stencil path end to end (general hierarchy
+    build, non-constant Galerkin levels, grid-array inverse diagonals).
+
+    ``kappa``: positive cell coefficient field, shape = grid shape.  Face
+    coefficient between neighboring cells is the harmonic (default) or
+    arithmetic mean — harmonic is the standard finite-volume choice for
+    discontinuous media.  Returns ``(offsets, coeffs)`` with the diagonal
+    equal to the sum of the face coefficients (an SPD M-matrix; reduces
+    exactly to :func:`poisson_stencil` for ``kappa ≡ 1``).
+    """
+    kappa = np.asarray(kappa, dtype=dtype)
+    if np.any(kappa <= 0):
+        raise ValueError("kappa must be strictly positive")
+    shape = kappa.shape
+    d = len(shape)
+    offsets = poisson_offsets(d)
+    coeffs = np.zeros((len(offsets),) + shape, dtype=dtype)
+
+    def face(a, b):
+        return 2.0 * a * b / (a + b) if harmonic else 0.5 * (a + b)
+
+    k = 1
+    for axis in range(d):
+        lo = [slice(None)] * d
+        hi = [slice(None)] * d
+        lo[axis] = slice(0, shape[axis] - 1)
+        hi[axis] = slice(1, None)
+        f = face(kappa[tuple(lo)], kappa[tuple(hi)])  # interior faces
+        # offsets ordered (-1) then (+1) per axis (poisson_offsets)
+        coeffs[(k,) + tuple(hi)] = -f  # coupling to the −1 neighbor
+        coeffs[(k + 1,) + tuple(lo)] = -f  # coupling to the +1 neighbor
+        k += 2
+        # boundary faces (Dirichlet): cell couples to the wall with its
+        # own κ, contributing to the diagonal only
+        wall_lo = [slice(None)] * d
+        wall_lo[axis] = slice(0, 1)
+        wall_hi = [slice(None)] * d
+        wall_hi[axis] = slice(shape[axis] - 1, None)
+        coeffs[0][tuple(wall_lo)] += kappa[tuple(wall_lo)]
+        coeffs[0][tuple(wall_hi)] += kappa[tuple(wall_hi)]
+    # diagonal = − Σ off-diagonal couplings + boundary terms
+    coeffs[0] += -np.sum(coeffs[1:], axis=0)
+    return offsets, coeffs
+
+
+def diffusion(kappa, harmonic: bool = True) -> sp.csr_matrix:
+    """CSR form of :func:`diffusion_stencil` (oracle/interchange)."""
+    offsets, coeffs = diffusion_stencil(kappa, harmonic)
+    return stencil_to_csr(offsets, coeffs)
+
+
 def rhs_random(shape, seed: int = 0, dtype=np.float64) -> np.ndarray:
     """Reproducible random right-hand side on the grid."""
     rng = np.random.default_rng(seed)
