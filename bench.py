@@ -134,6 +134,31 @@ def main():
         f"solve_time={info['solve_time_s'] * 1e3:.1f}ms"
     )
 
+    # --- supporting: the 512³ configuration on the one available chip ---
+    # (BASELINE config 5 prescribes ≥2 hosts; no pod is attached in this
+    # environment, so the single-chip run documents feasibility + scaling)
+    if on_tpu:
+        try:
+            big = (512, 512, 512)
+            t0 = time.perf_counter()
+            solver5 = setup(big, cfg)
+            setup5 = time.perf_counter() - t0
+            key = jax.random.PRNGKey(1)
+            b5 = jax.random.normal(key, big, dtype=jnp.float32)
+            b5 = b5 / jnp.sqrt(jnp.sum(b5 * b5))
+            float(jnp.sum(b5))
+            solver5.solve(b5)  # warm
+            t0 = time.perf_counter()
+            _, info5 = solver5.solve(b5)
+            t5 = time.perf_counter() - t0
+            log(
+                f"512^3 single-chip: setup={setup5:.1f}s "
+                f"cycles={info5['cycles']} conv={info5['converged']} "
+                f"final={info5['final_norm']:.1e} solve={t5 * 1e3:.0f}ms"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"512^3 run failed: {e}")
+
     result = {
         "metric": "smoother_spmv_nnz_per_s",
         "value": float(nnz_per_s),

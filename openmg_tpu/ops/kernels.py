@@ -89,15 +89,17 @@ def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
     if oz == 0:
         w = t
     elif oz == 1:
-        # w[z] = x[z+1]: planes 1..TZ-1 of t, then hi_plane
-        w = jnp.concatenate([t[1:], hi_plane], axis=0)
+        # w[z] = x[z+1]: planes 1..TZ-1 of t, then hi_plane (tz == 1: the
+        # tile contributes no planes — concatenating t[1:] would create a
+        # zero-extent vector, which Mosaic rejects)
+        w = hi_plane if tz == 1 else jnp.concatenate([t[1:], hi_plane], axis=0)
         edge = jnp.where(i == gz - 1, 0.0, 1.0).astype(t.dtype)
         zmask = 1.0 + (edge - 1.0) * (
             jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == tz - 1
         ).astype(t.dtype)
         w = w * zmask
     else:
-        w = jnp.concatenate([lo_plane, t[:-1]], axis=0)
+        w = lo_plane if tz == 1 else jnp.concatenate([lo_plane, t[:-1]], axis=0)
         edge = jnp.where(i == 0, 0.0, 1.0).astype(t.dtype)
         zmask = 1.0 + (edge - 1.0) * (
             jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == 0

@@ -10,7 +10,8 @@ from openmg_tpu.ops import kernels
 from openmg_tpu.ops.smoothers import jacobi, rbgs
 from openmg_tpu.ops.stencil import StencilOperator
 
-SHAPES = [(8, 8, 128), (4, 16, 256), (16, 8, 128)]
+# (2, 512, 512): 1 MB planes force tz=1 (the 512³ fine-level regime)
+SHAPES = [(8, 8, 128), (4, 16, 256), (16, 8, 128), (2, 512, 512)]
 
 
 def _const_op(shape):
