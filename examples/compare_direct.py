@@ -78,7 +78,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-dim", type=int, default=64)
     ap.add_argument("--dims", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--backend", choices=["cpu", "tpu"],
+                    help="force backend (must be set before first device use)")
     args = ap.parse_args()
+
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     log(f"{'shape':>18} {'n':>9} {'setup':>8} {'mg':>8} {'direct':>8} "
         f"{'cyc':>4} {'err':>9}")
