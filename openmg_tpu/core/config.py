@@ -36,6 +36,11 @@ class SolverConfig:
         visits per level — more robust, ~2x coarse work) | "f" (full
         multigrid: coarsest-first pass, ~1.3x a V-cycle per pass and
         roughly halves the outer cycle count).
+    krylov: "none" (pure multigrid, reference-parity) | "pcg" — each outer
+        defect-correction step runs `krylov_iters` MG-preconditioned
+        conjugate-gradient iterations instead of one bare cycle; the
+        robust choice for rough/jumping coefficients.
+    krylov_iters: CG iterations (= cycles) per outer step with krylov="pcg".
     omega: weighted-Jacobi damping (2/3 is optimal for 1D Poisson; a robust
         all-round default).
     dtype: cycle computation dtype (f32 on TPU).
@@ -75,6 +80,8 @@ class SolverConfig:
     threshold: float = 1e-10
     smoother: str = "rbgs"
     cycle_type: str = "v"
+    krylov: str = "none"
+    krylov_iters: int = 2
     omega: float = 2.0 / 3.0
     transfer: str = "aggregate"  # "aggregate" (reference-parity) | "linear"
     dtype: str = "float32"
@@ -104,6 +111,8 @@ class SolverConfig:
             "post_iterations",
             "smoother",
             "cycle_type",
+            "krylov",
+            "krylov_iters",
             "omega",
             "transfer",
             "dtype",

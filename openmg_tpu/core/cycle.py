@@ -28,7 +28,7 @@ from openmg_tpu.ops.smoothers import smooth
 from openmg_tpu.ops.stencil import apply, residual
 from openmg_tpu.ops.transfer import prolong, restrict
 
-__all__ = ["v_cycle", "fmg_cycle", "coarse_solve", "run_cycle"]
+__all__ = ["v_cycle", "fmg_cycle", "coarse_solve", "run_cycle", "pcg_solve"]
 
 
 def coarse_solve(hierarchy: Hierarchy, b):
@@ -132,3 +132,53 @@ def run_cycle(
     if cycle_type == "f":
         return fmg_cycle(hierarchy, r, pre, post, smoother, omega, 1)
     raise ValueError(f"unknown cycle_type {cycle_type!r}; choose v|w|f")
+
+
+def pcg_solve(
+    hierarchy: Hierarchy,
+    r0,
+    iters: int = 2,
+    cycle_type: str = "v",
+    pre: int = 2,
+    post: int = 2,
+    smoother: str = "rbgs",
+    omega: float = 2.0 / 3.0,
+):
+    """``iters`` steps of conjugate gradients on ``A e = r0`` from zero,
+    preconditioned by one multigrid cycle per step (beyond the reference:
+    MG-preconditioned Krylov is the standard production combination for
+    SPD systems with rough coefficients, where a stationary V-cycle's
+    contraction degrades — PAPERS.md two-stage-GS/Krylov literature).
+
+    Used as the inner error solver of the defect-correction loop
+    (``SolverConfig(krylov="pcg")``): the outer loop tolerates a
+    nonlinear inner map, so no flexible-CG machinery is needed.  All
+    static trip counts — trace-unrolls into the single solve program.
+    """
+    from openmg_tpu.ops.stencil import apply as stencil_apply
+
+    A = hierarchy.levels[0].A
+
+    def precond(rr):
+        return run_cycle(
+            hierarchy, rr, cycle_type, pre, post, smoother, omega
+        )
+
+    e = jnp.zeros_like(r0)
+    r = r0
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    for it in range(iters):
+        Ap = stencil_apply(A, p)
+        alpha = rz / jnp.sum(p * Ap)
+        e = e + alpha * p
+        if it == iters - 1:
+            break
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / rz
+        rz = rz_new
+        p = z + beta * p
+    return e

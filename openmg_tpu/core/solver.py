@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from openmg_tpu.core.config import ProblemConfig, SolverConfig
-from openmg_tpu.core.cycle import run_cycle, v_cycle
+from openmg_tpu.core.cycle import pcg_solve, run_cycle, v_cycle
 from openmg_tpu.core.hierarchy import Hierarchy, build_hierarchy
 from openmg_tpu.models.poisson import poisson_stencil, stencil_from_csr
 from openmg_tpu.ops.doublefloat import (
@@ -47,6 +47,20 @@ from openmg_tpu.ops.stencil import shift
 from openmg_tpu.ops.transfer import TRANSFERS
 
 __all__ = ["Solver", "setup", "solve", "mg_solve"]
+
+
+def _inner_solve(
+    h, r, *, cycle_type, pre, post, smoother, omega, krylov, krylov_iters
+):
+    """Inner error solver of the defect-correction loop: one MG cycle
+    (reference-parity) or krylov_iters MG-preconditioned CG steps."""
+    if krylov == "pcg":
+        return pcg_solve(
+            h, r, krylov_iters, cycle_type, pre, post, smoother, omega
+        )
+    if krylov not in (None, "none"):
+        raise ValueError(f"unknown krylov {krylov!r}; choose none|pcg")
+    return run_cycle(h, r, cycle_type, pre, post, smoother, omega)
 
 
 def _resolve_residual_mode(name, warn: bool = True):
@@ -105,6 +119,8 @@ class Solver:
             post=config.post_iterations,
             smoother=config.smoother,
             cycle_type=config.cycle_type,
+            krylov=config.krylov,
+            krylov_iters=config.krylov_iters,
             omega=config.omega,
             cycle_dtype=self.dtype,
         )
@@ -218,6 +234,8 @@ class Solver:
                 post=cfg.post_iterations,
                 smoother=cfg.smoother,
                 cycle_type=cfg.cycle_type,
+                krylov=cfg.krylov,
+                krylov_iters=cfg.krylov_iters,
                 omega=cfg.omega,
                 cycle_dtype=self.dtype,
                 df=df,
@@ -345,6 +363,8 @@ class Solver:
         "post",
         "smoother",
         "cycle_type",
+        "krylov",
+        "krylov_iters",
         "omega",
         "cycle_dtype",
         "df",
@@ -362,6 +382,8 @@ def _solve_device(
     post,
     smoother,
     cycle_type,
+    krylov,
+    krylov_iters,
     omega,
     cycle_dtype,
     df,
@@ -408,8 +430,16 @@ def _solve_device(
         return _residual_norm_t(h.fine_hi, b, xx)
 
     def apply_cycle(xx, r):
-        e = run_cycle(
-            h, r.astype(cycle_dtype), cycle_type, pre, post, smoother, omega
+        e = _inner_solve(
+            h,
+            r.astype(cycle_dtype),
+            cycle_type=cycle_type,
+            pre=pre,
+            post=post,
+            smoother=smoother,
+            omega=omega,
+            krylov=krylov,
+            krylov_iters=krylov_iters,
         )
         if df:
             return df_add_f32(xx, e)
@@ -437,14 +467,16 @@ def _solve_device(
 
             def fbody(st):
                 (xh, xl), r, k, hist, _ = st
-                e = run_cycle(
+                e = _inner_solve(
                     h,
                     r.astype(cycle_dtype),
-                    cycle_type,
-                    pre,
-                    post,
-                    smoother,
-                    omega,
+                    cycle_type=cycle_type,
+                    pre=pre,
+                    post=post,
+                    smoother=smoother,
+                    omega=omega,
+                    krylov=krylov,
+                    krylov_iters=krylov_iters,
                 )
                 xh, xl, r2 = _kernels.df_update_residual_const_3d(
                     offs, exact_terms, xh, xl, e, b[0], b[1]
@@ -558,16 +590,36 @@ def exact_residual_terms(hierarchy):
         "post",
         "smoother",
         "cycle_type",
+        "krylov",
+        "krylov_iters",
         "omega",
         "cycle_dtype",
     ),
 )
 def _cycle_step(
-    hierarchy, r, *, pre, post, smoother, cycle_type, omega, cycle_dtype
+    hierarchy,
+    r,
+    *,
+    pre,
+    post,
+    smoother,
+    cycle_type,
+    krylov,
+    krylov_iters,
+    omega,
+    cycle_dtype,
 ):
-    """One error-correction cycle: e = cycle(r, 0) in the cycle dtype."""
-    return run_cycle(
-        hierarchy, r.astype(cycle_dtype), cycle_type, pre, post, smoother, omega
+    """One error-correction step: e ~= A^-1 r in the cycle dtype."""
+    return _inner_solve(
+        hierarchy,
+        r.astype(cycle_dtype),
+        cycle_type=cycle_type,
+        pre=pre,
+        post=post,
+        smoother=smoother,
+        omega=omega,
+        krylov=krylov,
+        krylov_iters=krylov_iters,
     )
 
 

@@ -188,3 +188,50 @@ class TestChebyshev:
         np.testing.assert_allclose(
             np.asarray(x4), np.asarray(x1), rtol=1e-8, atol=1e-10
         )
+
+
+class TestPCG:
+    def test_pcg_converges_and_matches_direct(self):
+        shape = (32, 32)
+        b = rhs_random(shape, seed=8)
+        cfg = SolverConfig(
+            smoother="rbgs", transfer="linear", krylov="pcg",
+            krylov_iters=2, cycles=60,
+        )
+        x, info = setup(shape, cfg).solve(b)
+        assert info["converged"]
+        x_dir = _direct(shape, b)
+        err = np.linalg.norm(np.asarray(x).ravel() - x_dir) / np.linalg.norm(
+            x_dir
+        )
+        assert err < 1e-9
+
+    def test_pcg_beats_plain_mg_on_jumpy_coefficients(self):
+        """1e4 coefficient jump: MG-preconditioned CG needs fewer cycles
+        than the same number of bare V-cycles per outer step."""
+        from openmg_tpu.models.poisson import diffusion_stencil
+
+        shape = (32, 32)
+        kappa = np.ones(shape)
+        kappa[8:24, 8:24] = 1e4
+        offsets, coeffs = diffusion_stencil(kappa)
+        b = rhs_random(shape, seed=9)
+        counts = {}
+        for kr in ("none", "pcg"):
+            cfg = SolverConfig(
+                smoother="rbgs", transfer="linear", krylov=kr,
+                krylov_iters=2, cycles=200, gridlevels=4,
+                max_dense_coarse=4096, threshold=1e-9,
+            )
+            _, info = setup((offsets, coeffs), cfg).solve(b)
+            assert info["converged"]
+            # total V-cycle count: pcg runs krylov_iters cycles per step
+            mult = 2 if kr == "pcg" else 1
+            counts[kr] = info["cycles"] * mult
+        assert counts["pcg"] <= counts["none"]
+
+    def test_unknown_krylov_rejected(self):
+        shape = (16, 16)
+        b = rhs_random(shape, seed=1)
+        with pytest.raises(ValueError, match="krylov"):
+            setup(shape, SolverConfig(krylov="gmres")).solve(b)

@@ -181,3 +181,39 @@ def test_nonconvergence_reported_honestly():
     x, info = solve(shape, rhs_random(shape, seed=5), cfg)
     assert not info["converged"]
     assert len(info["residual_norms"]) == 2
+
+
+@pytest.mark.parametrize(
+    "shape,cfg",
+    [
+        # BASELINE config 2 at FULL size: 2D 256², 5-level, red–black GS.
+        # The reference's aggregation transfer has ρ≈0.92 at this scale
+        # (piecewise-constant P does not reproduce linears — compounding
+        # over 5 levels); it converges, slowly, cycles=400 covers it.
+        ((256, 256), SolverConfig(gridlevels=5, smoother="rbgs", cycles=400,
+                                  max_dense_coarse=4096)),
+        # same config with the linear transfer: ~8 cycles
+        ((256, 256), SolverConfig(gridlevels=5, smoother="rbgs", cycles=100,
+                                  transfer="linear", max_dense_coarse=4096)),
+        # BASELINE config 3 at FULL size: 3D 64³ full depth, Galerkin RAP
+        ((64, 64, 64), SolverConfig(smoother="rbgs", cycles=100)),
+    ],
+)
+def test_baseline_configs_full_size(shape, cfg):
+    b = rhs_random(shape, seed=0)
+    b = b / np.linalg.norm(b.ravel())  # scale-invariant absolute threshold
+    x, info = solve(shape, b, cfg)
+    assert info["converged"], info["residual_norms"][-3:]
+    assert info["final_norm"] < cfg.threshold
+    if int(np.prod(shape)) <= 100_000:
+        x_dir = _direct(shape, b)
+        err = np.linalg.norm(np.asarray(x).ravel() - x_dir) / np.linalg.norm(
+            x_dir
+        )
+        assert err < 1e-7
+    else:
+        # 3D spsolve fill-in is minutes at 64³ — cross-check the converged
+        # residual with an independent scipy SpMV instead
+        A = poisson(shape)
+        r = b.ravel() - A @ np.asarray(x, dtype=np.float64).ravel()
+        assert np.linalg.norm(r) < 2 * cfg.threshold
