@@ -1,6 +1,7 @@
 """Grid transfers: separable tap path == explicit sparse R/P oracles (T5)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from openmg_tpu.ops.transfer import AGGREGATE, LINEAR, coarse_shape, prolong, restrict
@@ -75,3 +76,47 @@ def test_linear_prolong_is_exact_on_linear_functions():
 def test_prolong_shape_mismatch_raises():
     with pytest.raises(ValueError):
         prolong(np.zeros((4,)), (12,))
+
+
+# ---------------------------------------------------------------------------
+# MXU (matmul) transfer path == slice path (bit-level agreement is not
+# required across backends — the matmul reassociates adds — but on CPU
+# with HIGHEST precision and power-of-two weights both are exact)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("transfer", [AGGREGATE, LINEAR])
+@pytest.mark.parametrize("shape", [(64,), (32, 64), (8, 16, 32)])
+def test_matmul_restrict_matches_slice(transfer, shape):
+    import openmg_tpu.ops.transfer as tr
+
+    rng = np.random.default_rng(0)
+    v = np.asarray(rng.standard_normal(shape), dtype=np.float32)
+    old = tr.BACKEND
+    try:
+        tr.BACKEND = "slice"
+        want = np.asarray(restrict(jnp.asarray(v), transfer))
+        tr.BACKEND = "matmul"
+        got = np.asarray(restrict(jnp.asarray(v), transfer))
+    finally:
+        tr.BACKEND = old
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("transfer", [AGGREGATE, LINEAR])
+@pytest.mark.parametrize("shape", [(64,), (32, 64), (8, 16, 32)])
+def test_matmul_prolong_matches_slice(transfer, shape):
+    import openmg_tpu.ops.transfer as tr
+
+    rng = np.random.default_rng(1)
+    cs = tuple(s // 2 for s in shape)
+    u = np.asarray(rng.standard_normal(cs), dtype=np.float32)
+    old = tr.BACKEND
+    try:
+        tr.BACKEND = "slice"
+        want = np.asarray(prolong(jnp.asarray(u), shape, transfer))
+        tr.BACKEND = "matmul"
+        got = np.asarray(prolong(jnp.asarray(u), shape, transfer))
+    finally:
+        tr.BACKEND = old
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
