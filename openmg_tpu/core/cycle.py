@@ -49,25 +49,46 @@ def v_cycle(
     smoother: str = "rbgs",
     omega: float = 2.0 / 3.0,
     gamma: int = 1,
+    x_zero: bool = False,
 ):
     """One µ-cycle starting at ``level`` (``gamma=1`` → V, 2 → W);
     returns the improved ``x``.
 
     All loop/recursion bounds are static; under ``jax.jit`` this traces to
     one straight-line multi-level program (T7).
+
+    ``x_zero`` declares (statically) that ``x`` is all-zero — true at every
+    level of the defect-correction cycle (fine level solves ``A e = r``
+    from zero; each coarse visit starts from a zero correction).  The
+    pre-smooth + residual then take the fused zero-start Pallas kernel
+    (ops/fused.py), which reads only ``b``.
     """
     L = hierarchy.levels[level]
     if level == hierarchy.num_levels - 1:
         return coarse_solve(hierarchy, b)
-    x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
-    r = residual(L.A, b, x)
+    fused_pre = None
+    if x_zero:
+        if pre == 0:
+            x, r = x, b  # r = b − A·0
+            fused_pre = (x, r)
+        else:
+            from openmg_tpu.ops import fused
+
+            fused_pre = fused.presmooth_residual_fused(
+                smoother, L.A, b, pre, omega
+            )
+    if fused_pre is not None:
+        x, r = fused_pre
+    else:
+        x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
+        r = residual(L.A, b, x)
     bc = restrict(r, hierarchy.transfer)
     ec = jnp.zeros_like(bc)
     # µ recursive visits; at the level just above the coarsest a second
     # visit would re-run the exact solve on an (near-)unchanged residual,
     # so W-cycles fall back to one visit there (standard optimization)
     visits = 1 if level == hierarchy.num_levels - 2 else gamma
-    for _ in range(visits):
+    for v in range(visits):
         ec = v_cycle(
             hierarchy,
             bc,
@@ -78,6 +99,7 @@ def v_cycle(
             smoother,
             omega,
             gamma,
+            x_zero=(v == 0),
         )
     x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
     x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega)
@@ -123,11 +145,13 @@ def run_cycle(
     """Error-correction cycle ``e ≈ A⁻¹ r`` from zero, by cycle type."""
     if cycle_type == "v":
         return v_cycle(
-            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 1
+            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 1,
+            x_zero=True,
         )
     if cycle_type == "w":
         return v_cycle(
-            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 2
+            hierarchy, r, jnp.zeros_like(r), 0, pre, post, smoother, omega, 2,
+            x_zero=True,
         )
     if cycle_type == "f":
         return fmg_cycle(hierarchy, r, pre, post, smoother, omega, 1)

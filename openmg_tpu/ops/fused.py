@@ -1,0 +1,325 @@
+"""Multi-stage fused Pallas smoother kernels (T3/T4 deep-fusion tier).
+
+The per-half-sweep kernels in :mod:`openmg_tpu.ops.kernels` stream
+``x``/``b`` through HBM once per half-sweep — 3 array passes per sweep.
+Smoothing is stationary relaxation, so S consecutive half-sweeps can run
+inside ONE kernel if each z-slab is extended by an S-deep halo: a point at
+distance d from the slab can be updated validly for the first S−d sweeps,
+which is exactly enough for the central slab to be correct after all S.
+HBM traffic drops from ``3·S`` array passes to ``2 + (4S−2)/tz`` (x in,
+b in, x out, plus halo re-reads), at the cost of redundantly re-smoothing
+the halo planes (VPU work, which the bandwidth-bound sweeps have to spare).
+
+Two entry points sit on top of the generic engine:
+
+* :func:`smooth_fused` — S half-sweeps on an existing iterate (post-
+  smoothing, and the benchmark's multi-sweep Jacobi path), chunked to the
+  deepest fusion that fits VMEM.
+* :func:`presmooth_residual_fused` — the V-cycle's pre-smoothing **from a
+  zero initial guess** (every level of the defect-correction cycle starts
+  from zero — core/cycle.py) fused with the level residual
+  ``r = b − A x``:  the kernel reads ONLY ``b`` and writes ``(x, r)``,
+  replacing pre·(3 passes) + residual·(3 passes) with ~2–3 passes total.
+
+Halo mechanics follow ops/kernels.py: the grid is 1-D over z-slabs; the
+same array is passed once as the aligned ``(tz, ny, nx)`` tile plus ``2·D``
+single *planes* (block size 1 along z makes the block index an element
+index, so index maps can address ``i·tz − j`` directly, clamped at the
+domain edge and zero-masked in-kernel).  Out-of-domain planes are kept
+exactly zero after every stage, which implements the Dirichlet truncation
+along z with no per-offset edge masks; y/x edges use the roll+iota masks.
+
+Correctness is pinned against the jnp smoothers in interpreter mode
+(tests/test_fused.py) and the compiled path runs in scripts/tpu_smoke.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "stages_for",
+    "fused_stages_const_3d",
+    "smooth_fused",
+    "presmooth_residual_fused",
+]
+
+# Mosaic scoped-VMEM cap for the fused kernels.  The default 16 MB rejects
+# deep fusions whose stage intermediates spill past the in/out blocks; the
+# v5e accepts 64 MB (verified on-chip: compiles and runs correctly — the
+# physical VMEM is larger than the guide's conservative 16 MB figure).
+_VMEM_LIMIT = 64 * 1024 * 1024
+# Scoped-usage budget for the tz fit model below (pipelined in/out blocks
+# plus ~2 extended-slab intermediates per streamed array, calibrated
+# against on-chip compile successes/failures at 256³ — sweep logs in the
+# round notes).  Keeping a margin under _VMEM_LIMIT absorbs model error.
+_SCOPED_BUDGET = 44 * 1024 * 1024
+# Deepest fusion per kernel: compile time and redundant halo compute grow
+# with depth; ≥6-stage chunks measured diminishing returns at 256³.
+MAX_CHUNK = 6
+
+
+def stages_for(name: str, iterations: int, omega: float):
+    """Half-sweep stage list for a smoother, or None if not stage-fusable."""
+    if name == "jacobi":
+        return (("jacobi", float(omega)),) * iterations
+    if name == "rbgs":
+        return (("rb", 0), ("rb", 1)) * iterations
+    return None
+
+
+def _fit_tz(shape, depth: int, has_x: bool, n_out: int):
+    """Largest power-of-two slab height whose estimated scoped-VMEM usage
+    fits the calibrated budget, or None.
+
+    Usage model (empirical, see _SCOPED_BUDGET): double-buffered in/out
+    blocks — b as an E=(tz+2·depth)-plane window, x likewise if present,
+    n_out outputs of tz planes — plus ~2 E-plane intermediates each for
+    the extended x and b slabs the stage loop keeps alive."""
+    nz, ny, nx = shape
+    if nz < 2 or ny < 2 or nx < 128 or nx % 128:
+        return None
+    plane = ny * nx * 4
+
+    def scoped(tz):
+        E = tz + 2 * depth
+        inout = (E * (2 if has_x else 1) + tz * n_out) * plane
+        interm = 2 * E * plane * 2
+        return 2 * inout + interm
+
+    def fits(tz):
+        return scoped(tz) <= _SCOPED_BUDGET
+
+    if not fits(1):
+        return None
+    tz = 1
+    while tz * 2 <= nz and nz % (tz * 2) == 0 and fits(tz * 2):
+        tz *= 2
+    return tz
+
+
+def _stencil_ok(op, b) -> bool:
+    return (
+        op.is_constant
+        and b.dtype == jnp.float32
+        and len(b.shape) == 3
+        and all(abs(o) <= 1 for off in op.offsets for o in off)
+    )
+
+
+def _shift_ext(w, off, ny, nx):
+    """``shift(w, off)`` on a z-extended slab: zeros flow in past the slab
+    ends along z (out-of-domain planes are already zero, so no z masks are
+    needed); y/x edges are Dirichlet-masked via roll + iota."""
+    oz, oy, ox = off
+    if oz != 0:
+        zp = jnp.zeros_like(w[:1])
+        if oz == 1:
+            w = jnp.concatenate([w[1:], zp], axis=0)
+        else:
+            w = jnp.concatenate([zp, w[:-1]], axis=0)
+    if oy != 0:
+        w = jnp.roll(w, -oy, axis=1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+        m = (iy < ny - 1) if oy == 1 else (iy > 0)
+        w = w * m.astype(w.dtype)
+    if ox != 0:
+        w = jnp.roll(w, -ox, axis=2)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+        m = (ix < nx - 1) if ox == 1 else (ix > 0)
+        w = w * m.astype(w.dtype)
+    return w
+
+
+def _apply_ext(vals_ref, offsets, w, ny, nx, skip_diag: bool):
+    di = offsets.index((0, 0, 0))
+    acc = None
+    for k, off in enumerate(offsets):
+        if skip_diag and k == di:
+            continue
+        term = w if off == (0, 0, 0) else _shift_ext(w, off, ny, nx)
+        term = vals_ref[0, k] * term
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _fused_kernel(
+    vals_ref, *refs, offsets, stages, emit_residual, has_x,
+    tz, depth, ny, nx, nz,
+):
+    i = pl.program_id(0)
+    E = tz + 2 * depth
+    nb = 1 + 2 * depth
+
+    def ext(rs):
+        # rs: [tile, lo_D..lo_1, hi_1..hi_D] → (E, ny, nx)
+        parts = [rs[1 + k][...] for k in range(depth)]
+        parts.append(rs[0][...])
+        parts.extend(rs[1 + depth + k][...] for k in range(depth))
+        return jnp.concatenate(parts, axis=0)
+
+    out_refs = refs[nb * (2 if has_x else 1):]
+    gp = jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1), 0) + (i * tz - depth)
+    zvalid = jnp.logical_and(gp >= 0, gp < nz).astype(jnp.float32)
+    B = ext(refs[:nb]) * zvalid
+    if has_x:
+        X = ext(refs[nb: 2 * nb]) * zvalid
+    else:
+        X = jnp.zeros((E, ny, nx), B.dtype)
+
+    di = offsets.index((0, 0, 0))
+    inv_d = 1.0 / vals_ref[0, di]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+
+    for kind, p in stages:
+        if kind == "jacobi":
+            acc = _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
+            om = jnp.asarray(p, dtype=X.dtype)
+            X = (X + om * (inv_d * (B - acc))) * zvalid
+        else:  # ("rb", color)
+            acc = _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=True)
+            xn = inv_d * (B - acc)
+            par = (gp + iy + ix) & 1
+            X = jnp.where(par == p, xn, X) * zvalid
+
+    out_refs[0][...] = X[depth: depth + tz]
+    if emit_residual:
+        r = B - _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
+        out_refs[1][...] = r[depth: depth + tz]
+
+
+def fused_stages_const_3d(
+    values, offsets, b, x, stages, emit_residual: bool = False, tz=None
+):
+    """Run ``stages`` half-sweeps (and optionally the final residual) for a
+    constant 3D stencil in one Pallas pass.  ``x=None`` means a zero
+    initial guess (the array is never read).  Returns ``x_out`` or
+    ``(x_out, r)``.  Caller must have checked :func:`_fit_tz`; ``tz``
+    overrides the slab height (benchmark tuning)."""
+    offsets = tuple(tuple(o) for o in offsets)
+    stages = tuple((str(k), (float(p) if k == "jacobi" else int(p)))
+                   for k, p in stages)
+    nz, ny, nx = b.shape
+    has_x = x is not None
+    depth = len(stages) + (1 if emit_residual else 0)
+    n_out = 2 if emit_residual else 1
+    if tz is None:
+        tz = _fit_tz(b.shape, depth, has_x, n_out)
+    if tz is None:
+        raise ValueError("fused stages do not fit VMEM for this shape")
+    gz = nz // tz
+
+    tile = pl.BlockSpec(
+        (tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def lo_spec(j):
+        return pl.BlockSpec(
+            (1, ny, nx),
+            lambda i, j=j: (jnp.maximum(i * tz - j, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def hi_spec(j):
+        return pl.BlockSpec(
+            (1, ny, nx),
+            lambda i, j=j: (jnp.minimum(i * tz + tz - 1 + j, nz - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def specs_for_array():
+        # order must match _fused_kernel.ext: tile, lo_D..lo_1, hi_1..hi_D
+        return (
+            [tile]
+            + [lo_spec(j) for j in range(depth, 0, -1)]
+            + [hi_spec(j) for j in range(1, depth + 1)]
+        )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, len(offsets)), lambda i: (0, 0), memory_space=pltpu.SMEM
+        )
+    ]
+    operands = [values.reshape(1, -1)]
+    in_specs += specs_for_array()
+    operands += [b] * (1 + 2 * depth)
+    if has_x:
+        in_specs += specs_for_array()
+        operands += [x] * (1 + 2 * depth)
+
+    out_shape = jax.ShapeDtypeStruct(b.shape, b.dtype)
+    kern = functools.partial(
+        _fused_kernel,
+        offsets=offsets,
+        stages=stages,
+        emit_residual=emit_residual,
+        has_x=has_x,
+        tz=tz,
+        depth=depth,
+        ny=ny,
+        nx=nx,
+        nz=nz,
+    )
+    interpret = jax.default_backend() != "tpu"
+    extra = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            )
+        }
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(gz,),
+        in_specs=in_specs,
+        out_specs=(tile,) * n_out,
+        out_shape=(out_shape,) * n_out,
+        interpret=interpret,
+        **extra,
+    )(*operands)
+    return out if emit_residual else out[0]
+
+
+def smooth_fused(name, op, b, x, iterations: int, omega: float):
+    """S half-sweeps on an existing iterate, fused in the deepest VMEM-
+    fitting chunks.  Returns the smoothed ``x`` or None when the fused path
+    does not apply (wrong smoother/stencil/shape, or only depth-1 chunks
+    would fit — the per-half-sweep kernels are better there)."""
+    stages = stages_for(name, iterations, omega)
+    if stages is None or len(stages) < 2 or not _stencil_ok(op, b):
+        return None
+    remaining = list(stages)
+    max_chunk = 0
+    for c in range(min(len(stages), MAX_CHUNK), 1, -1):
+        if _fit_tz(b.shape, c, True, 1) is not None:
+            max_chunk = c
+            break
+    if max_chunk < 2:
+        return None
+    while remaining:
+        c = min(max_chunk, len(remaining))
+        chunk, remaining = remaining[:c], remaining[c:]
+        x = fused_stages_const_3d(op.values, op.offsets, b, x, chunk)
+    return x
+
+
+def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
+    """Zero-initial-guess pre-smoothing fused with the level residual:
+    returns ``(x, r)`` reading only ``b``, or None when unsupported."""
+    stages = stages_for(name, iterations, omega)
+    if stages is None or not stages or not _stencil_ok(op, b):
+        return None
+    depth = len(stages) + 1
+    if depth > MAX_CHUNK or _fit_tz(b.shape, depth, False, 2) is None:
+        return None
+    return fused_stages_const_3d(
+        op.values, op.offsets, b, None, stages, emit_residual=True
+    )

@@ -194,8 +194,12 @@ def smooth(
     if iterations <= 0:
         return x
     if use_pallas and op.is_constant and x.dtype == jnp.float32:
-        from openmg_tpu.ops import kernels
+        from openmg_tpu.ops import fused, kernels
 
+        # deep-fusion tier: S half-sweeps per HBM pass (ops/fused.py)
+        y = fused.smooth_fused(name, op, b, x, iterations, omega)
+        if y is not None:
+            return y
         if kernels.supports(op.offsets, x.shape):
             if name == "jacobi":
                 return kernels.jacobi_const_3d(
