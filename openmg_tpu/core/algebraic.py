@@ -482,9 +482,12 @@ def _sparse_solve_device(
         )
         return (xx, k + 1, hist, done)
 
-    return lax.while_loop(
+    x, k, hist, done = lax.while_loop(
         cond_fn, body_fn, (x, jnp.int32(0), hist0, jnp.bool_(False))
     )
+    from openmg_tpu.utils.observe import pack_solve_meta
+
+    return x, pack_solve_meta(k, hist, done)
 
 
 # ---------------------------------------------------------------------------
@@ -535,8 +538,10 @@ class AlgebraicSolver:
 
         # device-side outer loop (one dispatch; cf. core.solver)
         if not cfg.verbose and cfg.outer_loop != "host":
+            from openmg_tpu.utils.observe import unpack_solve_meta
+
             t_start = time.perf_counter()
-            x, k_fin, hist, done = _sparse_solve_device(
+            x, meta = _sparse_solve_device(
                 h,
                 b_dev,
                 x,
@@ -549,8 +554,7 @@ class AlgebraicSolver:
                 omega=cfg.omega,
                 df=self.df,
             )
-            k_fin = int(k_fin)
-            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
             n_cycles = max(k_fin - 1, 0)
             x_out = (

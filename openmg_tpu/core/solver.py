@@ -45,6 +45,7 @@ from openmg_tpu.ops.doublefloat import (
 from openmg_tpu.ops.stencil import apply as stencil_apply
 from openmg_tpu.ops.stencil import shift
 from openmg_tpu.ops.transfer import TRANSFERS
+from openmg_tpu.utils.observe import pack_solve_meta
 
 __all__ = ["Solver", "setup", "solve", "mg_solve"]
 
@@ -223,8 +224,10 @@ class Solver:
             or (cfg.outer_loop == "auto" and not cfg.verbose)
         )
         if use_device_loop:
+            from openmg_tpu.utils.observe import unpack_solve_meta
+
             t_start = time.perf_counter()
-            x, k_fin, hist, done = _solve_device(
+            x, meta = _solve_device(
                 h,
                 b_dev,
                 x,
@@ -241,8 +244,7 @@ class Solver:
                 df=df,
                 exact_terms=self._exact_terms,
             )
-            k_fin = int(k_fin)
-            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
             n_cycles = max(k_fin - 1, 0)
             info = {
@@ -497,7 +499,7 @@ def _solve_device(
                     rn0 < threshold,
                 ),
             )
-            return (xh, xl), k + 1, hist, done
+            return (xh, xl), pack_solve_meta(k + 1, hist, done)
 
     hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
 
@@ -522,7 +524,7 @@ def _solve_device(
     x, k, hist, done = lax.while_loop(
         cond_fn, body_fn, (x, jnp.int32(0), hist0, jnp.bool_(False))
     )
-    return x, k, hist, done
+    return x, pack_solve_meta(k, hist, done)
 
 
 def _residual_norm_t(fine_hi, b, x):

@@ -356,11 +356,14 @@ def _dist_solve_loop(
         )
         return (xh, xl, k + 1, hist, done)
 
-    return lax.while_loop(
+    xh, xl, k, hist, done = lax.while_loop(
         cond_fn,
         body_fn,
         (x_hi, x_lo, jnp.int32(0), hist0, jnp.bool_(False)),
     )
+    from openmg_tpu.utils.observe import pack_solve_meta
+
+    return xh, xl, pack_solve_meta(k, hist, done)
 
 
 # ---------------------------------------------------------------------------
@@ -583,7 +586,7 @@ class DistributedSolver:
                     vec,
                     vec,
                 ),
-                out_specs=(vec, vec, P(), P(), P()),
+                out_specs=(vec, vec, P()),
             )
         )
 
@@ -608,8 +611,10 @@ class DistributedSolver:
         # device-side outer loop (one dispatch per solve); host loop below
         # streams verbose per-cycle norms
         if not cfg.verbose and cfg.outer_loop != "host":
+            from openmg_tpu.utils.observe import unpack_solve_meta
+
             t_start = time.perf_counter()
-            x_hi, x_lo, k_fin, hist, done = self._solve_loop(
+            x_hi, x_lo, meta = self._solve_loop(
                 self.level_data,
                 self.coarse_inv,
                 self.fine_hi,
@@ -619,8 +624,7 @@ class DistributedSolver:
                 x_hi,
                 x_lo,
             )
-            k_fin = int(k_fin)
-            history = [float(v) for v in np.asarray(hist[:k_fin])]
+            k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
             n_cycles = max(k_fin - 1, 0)
             x_out = df_merge((x_hi, x_lo))
