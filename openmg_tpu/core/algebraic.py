@@ -242,6 +242,13 @@ def build_sparse_hierarchy(
         if fmt == "bsr":
             bs = _resolve_blocksize(Al.shape[0], blocksize)
             Adev = from_scipy(Al, "bsr", dtype=dtype, blocksize=(bs, bs))
+        elif fmt == "dense":
+            if Al.shape[0] > 16384:
+                raise ValueError(
+                    f"format='dense' is a debug mode; level 0 has "
+                    f"{Al.shape[0]} rows (> 16384) — use a sparse format"
+                )
+            Adev = from_scipy(Al, "dense", dtype=dtype)
         else:
             Adev = from_scipy(Al, fmt, dtype=dtype)
         colors_np = None

@@ -69,7 +69,9 @@ class SolverConfig:
     format: operator storage for the cycle — "auto" (stencil fast path
         when the matrix is grid-structured, else ELL), or force one of
         "stencil" | "ell" | "csr" | "bsr" (the padded-static-nnz general
-        containers, SURVEY.md T1).
+        containers, SURVEY.md T1) | "dense" (the reference's
+        ``dense=True`` debug mode — densified operators, SpMV as one MXU
+        matmul; small problems only).
     blocksize: BSR block edge (square blocks) when format="bsr".
     """
 
@@ -106,7 +108,8 @@ class SolverConfig:
             "verbose": p.pop("verbose", False),
         }
         p.pop("problemshape", None)  # carried by ProblemConfig
-        p.pop("dense", None)  # reference debug toggle; build is format-aware
+        if p.pop("dense", False):  # reference debug toggle → dense engine
+            known["format"] = "dense"
         for extra in (
             "post_iterations",
             "smoother",

@@ -115,6 +115,73 @@ def _interior_slice(off, shape):
     )
 
 
+def _exists_mask(off, shape):
+    """Boolean grid: True where the neighbor at ``off`` stays in-domain."""
+    m = np.ones(shape, dtype=bool)
+    for ax, o in enumerate(off):
+        idx = [slice(None)] * len(shape)
+        if o > 0:
+            idx[ax] = slice(0, shape[ax] - o)
+        elif o < 0:
+            idx[ax] = slice(-o, None)
+        else:
+            continue
+        mm = np.zeros(shape, dtype=bool)
+        mm[tuple(idx)] = True
+        m &= mm
+    return m
+
+
+def detect_faced(offsets, coeffs):
+    """Detect the boundary-corrected constant structure: the operator equals
+    a constant Dirichlet-truncated stencil at every point with all
+    coordinates ≥ 1, deviating only on the low faces ``i_axis == 0``.
+
+    This is exactly the structure of Galerkin coarsenings of constant
+    operators under the separable radius-1 ``linear`` transfer (each 1D
+    factor matrix is Toeplitz-tridiagonal except its [0, 0] entry — see
+    :class:`openmg_tpu.ops.stencil.FacedStencilOperator`).  Returns
+    ``(values, face_axes, face_planes)`` with ``face_planes[j]`` the exact
+    ``(K, *shape-minus-axis)`` coefficients of face ``face_axes[j]``, or
+    None when the structure does not hold.
+
+    ``coeffs`` may be the full coefficient array OR a boundary-collapsed
+    representative (structured.StructuredLevel.rep): the rep is an exact
+    materialization for its own dummy shape, and expansion only replicates
+    interior rows, so detection on the rep proves the property for every
+    real extent.
+    """
+    shape = coeffs.shape[1:]
+    if any(s < 3 for s in shape):
+        return None
+    mid = tuple(s // 2 for s in shape)
+    vals = np.array([coeffs[k][mid] for k in range(coeffs.shape[0])])
+    interior = tuple(slice(1, None) for _ in shape)
+    deviating = []
+    for k, off in enumerate(offsets):
+        expect = vals[k] * _exists_mask(off, shape)
+        if not np.array_equal(coeffs[k][interior], expect[interior]):
+            return None
+        deviating.append(not np.array_equal(coeffs[k], expect))
+    if not any(deviating):
+        return None  # exactly constant — caller should use the plain path
+    face_axes, face_planes = [], []
+    for a in range(len(shape)):
+        plane = np.take(coeffs, 0, axis=a + 1)
+        expect = np.stack(
+            [
+                np.take(vals[k] * _exists_mask(off, shape), 0, axis=a)
+                for k, off in enumerate(offsets)
+            ]
+        )
+        if not np.array_equal(plane, expect):
+            face_axes.append(a)
+            face_planes.append(plane)
+    if not face_axes:
+        return None
+    return vals, tuple(face_axes), face_planes
+
+
 def detect_constant(offsets, coeffs):
     """Return the ``(K,)`` value vector if the (numpy) operator is exactly
     constant-coefficient with zero Dirichlet truncation, else None."""
@@ -267,6 +334,7 @@ def build_hierarchy_structured(
     transfer: Transfer = AGGREGATE,
     max_dense_coarse: int = 512,
     min_coarse_dim: int = 1,
+    faced: bool = True,
 ) -> Hierarchy:
     """Hierarchy from a constant fine stencil via the boundary-collapsed
     chain (:mod:`openmg_tpu.core.structured`): the exact Galerkin hierarchy
@@ -276,8 +344,17 @@ def build_hierarchy_structured(
     This is the default setup for Poisson problems on every backend — it
     is exact (tests pin bit-equality with the direct RAP chain) and avoids
     both this host's ~20 MB/s numpy and multi-minute relay compiles.
+
+    ``faced=True`` stores levels that are constant away from their low
+    faces (linear-transfer Galerkin coarsenings) as
+    :class:`~openmg_tpu.ops.stencil.FacedStencilOperator` — the exact same
+    operator, but smoothed at constant-stencil speed with O(n²) face
+    fix-ups instead of streaming 3^d coefficient grids.  The distributed
+    builder passes ``faced=False`` (its sharded kernels consume plain
+    coefficient arrays).
     """
     from openmg_tpu.core.structured import expand_rep, expand_rep_np, structured_chain
+    from openmg_tpu.ops.stencil import FacedStencilOperator
 
     shape = tuple(int(s) for s in shape)
     offsets = tuple(tuple(o) for o in offsets)
@@ -292,12 +369,18 @@ def build_hierarchy_structured(
     plans = []
     for lvl in slevels:
         vals = detect_constant(lvl.offsets, lvl.rep)
-        plans.append((lvl, vals))
-        if vals is None:
-            reps.append(jnp.asarray(lvl.rep.astype(np.dtype(dtype))))
+        if vals is not None:
+            plans.append(("const", lvl, vals))
+            continue
+        fd = detect_faced(lvl.offsets, lvl.rep) if faced else None
+        if fd is not None:
+            plans.append(("faced", lvl, fd))
+            continue
+        plans.append(("varying", lvl, None))
+        reps.append(jnp.asarray(lvl.rep.astype(np.dtype(dtype))))
 
     if reps:
-        varying = [lvl for lvl, v in plans if v is None]
+        varying = [lvl for kind, lvl, _ in plans if kind == "varying"]
 
         def expand_all(tables):
             out = []
@@ -313,14 +396,45 @@ def build_hierarchy_structured(
 
     levels, stats = [], []
     vi = 0
-    for lvl, vals in plans:
-        if vals is not None:
-            di = diag_index(lvl.offsets)
+    for kind, lvl, payload in plans:
+        di = diag_index(lvl.offsets)
+        if kind == "const":
+            vals = payload
             op = StencilOperator(
                 None,
                 lvl.offsets,
                 jnp.asarray(vals.astype(np.dtype(dtype))),
                 lvl.real_shape,
+            )
+            levels.append(
+                Level(
+                    A=op,
+                    inv_diag=jnp.asarray(1.0 / vals[di], dtype=dtype),
+                )
+            )
+        elif kind == "faced":
+            vals, face_axes, face_planes = payload
+            # expand each (collapsed) face plane over its remaining axes
+            planes = []
+            for a, plane in zip(face_axes, face_planes):
+                m_rest = tuple(
+                    m for i, m in enumerate(lvl.m_shape) if i != a
+                )
+                n_rest = tuple(
+                    n for i, n in enumerate(lvl.real_shape) if i != a
+                )
+                for ax, (m, n) in enumerate(zip(m_rest, n_rest)):
+                    if m < n:
+                        plane = expand_rep_np(plane, ax, n)
+                planes.append(
+                    jnp.asarray(plane.astype(np.dtype(dtype)))
+                )
+            op = FacedStencilOperator(
+                values=jnp.asarray(vals.astype(np.dtype(dtype))),
+                face_coeffs=tuple(planes),
+                offsets=lvl.offsets,
+                shape=lvl.real_shape,
+                face_axes=face_axes,
             )
             levels.append(
                 Level(

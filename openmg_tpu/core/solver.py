@@ -632,11 +632,15 @@ _residual_norm_df_exact = jax.jit(
 )
 
 
-def setup(problem, config: SolverConfig | None = None) -> Solver:
+def setup(
+    problem, config: SolverConfig | None = None, *, faced: bool = True
+) -> Solver:
     """Build a :class:`Solver`.
 
     ``problem`` is a :class:`ProblemConfig`, a grid shape tuple (Poisson is
-    assembled), or an ``(offsets, coeffs)`` stencil pair.
+    assembled), or an ``(offsets, coeffs)`` stencil pair.  ``faced`` allows
+    the boundary-corrected constant level representation (see
+    build_hierarchy_structured); the distributed builder disables it.
     """
     config = config or SolverConfig()
     if config.transfer not in TRANSFERS:
@@ -673,6 +677,7 @@ def setup(problem, config: SolverConfig | None = None) -> Solver:
             poisson_offsets(d),
             fine_values,
             shape_like,
+            faced=faced,
             **common,
         )
     elif isinstance(problem, tuple) and len(problem) == 2:
@@ -714,7 +719,7 @@ def mg_solve(A, b, parameters: dict):
     fmt = config.format
     if A is None and fmt in ("auto", "stencil"):
         solver = setup(poisson_stencil(shape), config)
-    elif fmt in ("ell", "csr", "bsr"):
+    elif fmt in ("ell", "csr", "bsr", "dense"):
         from openmg_tpu.core.algebraic import setup_sparse
         from openmg_tpu.models.poisson import poisson
 

@@ -42,6 +42,7 @@ __all__ = [
     "supports_fused_update",
     "jacobi_const_3d",
     "rbgs_const_3d",
+    "rbgs_half_sweep_const_3d",
     "residual_const_3d",
     "df_update_residual_const_3d",
 ]
@@ -49,17 +50,28 @@ __all__ = [
 _VMEM_BUDGET = 14 * 1024 * 1024  # of 16 MB/core; blocks are double-buffered
 # (measured on the v5e chip: tz=8 at 256² planes fits and is ~6% faster
 # than the tz=4 a 10 MB budget allowed)
+# Mosaic scoped-VMEM cap (the v5e accepts 64 MB — verified on-chip by the
+# fused kernels, ops/fused.py); the kernel's live shifted-term slabs scale
+# with the offset count K, so wide stencils (27-point faced levels) need
+# the K-aware stack model below.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_SCOPED_BUDGET = 52 * 1024 * 1024
 
 
-def _pick_tz(shape) -> int:
+def _fits(tz: int, plane: int, k: int) -> bool:
+    # empirical stack model: ~0.9 planes of live intermediates per offset
+    # per slab plane (calibrated against an on-chip scoped-OOM report:
+    # K=27, tz=32, 64 KB planes → 49.9 MB scoped)
+    inout = (3 * tz + 2) * plane * 2
+    stack = int(0.9 * k * tz * plane)
+    return inout <= _VMEM_BUDGET and inout + stack <= _SCOPED_BUDGET
+
+
+def _pick_tz(shape, k: int = 7) -> int:
     nz, ny, nx = shape
     plane = ny * nx * 4
     tz = 1
-    while (
-        tz * 2 <= nz
-        and nz % (tz * 2) == 0
-        and (3 * (tz * 2) + 2) * plane * 2 <= _VMEM_BUDGET
-    ):
+    while tz * 2 <= nz and nz % (tz * 2) == 0 and _fits(tz * 2, plane, k):
         tz *= 2
     return tz
 
@@ -73,8 +85,8 @@ def supports(offsets, shape) -> bool:
         return False
     if any(abs(o) > 1 for off in offsets for o in off):
         return False
-    tz = _pick_tz(shape)
-    return nz % tz == 0 and (3 * tz + 2) * ny * nx * 4 * 2 <= _VMEM_BUDGET
+    tz = _pick_tz(shape, len(offsets))
+    return nz % tz == 0 and _fits(tz, ny * nx * 4, len(offsets))
 
 
 def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
@@ -159,7 +171,7 @@ def _smoother_kernel(
 
 def _half_sweep(values, b, x, *, offsets, mode, omega, color):
     nz, ny, nx = x.shape
-    tz = _pick_tz(x.shape)
+    tz = _pick_tz(x.shape, len(offsets))
     gz = nz // tz
     kern = functools.partial(
         _smoother_kernel,
@@ -174,6 +186,15 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
     )
     vals2d = values.reshape(1, -1)
     interpret = jax.default_backend() != "tpu"
+    extra = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            )
+        }
+    )
     return pl.pallas_call(
         kern,
         grid=(gz,),
@@ -199,6 +220,7 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        **extra,
     )(vals2d, x, x, x, b)
 
 
@@ -230,6 +252,15 @@ def rbgs_const_3d(values, offsets, b, x, iterations: int):
                 color=color,
             )
     return x
+
+
+def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
+    """One single-color RB-GS half-sweep (used by the faced-operator path,
+    which fixes boundary rows between half-sweeps)."""
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep(
+        values, b, x, offsets=offsets, mode="rbgs", omega=0.0, color=color
+    )
 
 
 # ---------------------------------------------------------------------------

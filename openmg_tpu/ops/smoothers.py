@@ -27,10 +27,13 @@ import jax
 import jax.numpy as jnp
 
 from openmg_tpu.ops.stencil import (
+    FacedStencilOperator,
     StencilOperator,
     apply,
     diag_index,
+    face_apply,
     residual,
+    set_plane,
     shift,
 )
 
@@ -126,6 +129,21 @@ def gershgorin_lambda_max(op: StencilOperator, inv_diag):
     one fused reduction for varying ones.  Exactly 2 for Poisson.
     """
     di = diag_index(op.offsets)
+    if isinstance(op, FacedStencilOperator):
+        offsum_int = sum(
+            jnp.abs(op.values[k]) for k in range(op.num_offsets) if k != di
+        )
+        lam = 1.0 + offsum_int / jnp.abs(op.values[di])
+        for fi in range(len(op.face_axes)):
+            fc = op.face_coeffs[fi]
+            offsum = None
+            for k in range(op.num_offsets):
+                if k == di:
+                    continue
+                t = jnp.abs(fc[k])
+                offsum = t if offsum is None else offsum + t
+            lam = jnp.maximum(lam, 1.0 + jnp.max(offsum / jnp.abs(fc[di])))
+        return lam
     if op.is_constant:
         offsum = sum(
             jnp.abs(op.values[k])
@@ -181,6 +199,88 @@ def chebyshev(
     return x
 
 
+def _faced_fix_half_sweep(op, b, x_old, x_new, mode, omega, color):
+    """Overwrite the low-face rows of ``x_new`` with the exact half-sweep
+    update computed from ``x_old`` (the pre-sweep iterate — every point of a
+    half-sweep reads old values, so all faces are fixed from the same
+    state; overlapping edge/corner rows get identical values)."""
+    import jax.lax as lax
+
+    planes = []
+    for fi, a in enumerate(op.face_axes):
+        invd = op.face_inv_diag(fi)
+        b_f = lax.index_in_dim(b, 0, axis=a, keepdims=False)
+        x_f = lax.index_in_dim(x_old, 0, axis=a, keepdims=False)
+        if mode == "jacobi":
+            om = jnp.asarray(omega, dtype=x_f.dtype)
+            xf = x_f + om * invd * (b_f - face_apply(op, fi, x_old))
+        else:  # red-black half-sweep, this color only
+            xn = invd * (b_f - face_apply(op, fi, x_old, exclude_diag=True))
+            red = parity_mask_expr(x_f.shape)
+            m = red if color == 0 else ~red
+            xf = jnp.where(m, xn, x_f)
+        planes.append((a, xf))
+    for a, xf in planes:
+        x_new = set_plane(x_new, a, 0, xf)
+    return x_new
+
+
+def _smooth_faced(name, op, b, x, iterations, omega, use_pallas):
+    """Smoothing on a faced operator: constant-stencil half-sweeps on the
+    full grid (Pallas fast path when supported) + exact face fix-ups after
+    every half-sweep.  Multi-stage fusion is disabled — a fused stage would
+    propagate wrong face values inward."""
+    from openmg_tpu.ops import kernels
+
+    const = op.const_op
+    di = diag_index(op.offsets)
+    inv_d = 1.0 / op.values[di]
+    pall = (
+        use_pallas
+        and x.dtype == jnp.float32
+        and kernels.supports(op.offsets, x.shape)
+    )
+    if name == "chebyshev":
+        # Chebyshev is residual-based: residual() dispatches exactly on the
+        # faced operator; the preconditioner diag uses the exact faces.
+        invd_full = jnp.full(op.grid_shape, inv_d, dtype=x.dtype)
+        for fi, a in enumerate(op.face_axes):
+            invd_full = set_plane(
+                invd_full, a, 0, op.face_inv_diag(fi).astype(x.dtype)
+            )
+        return chebyshev(op, invd_full, b, x, iterations)
+    for _ in range(iterations):
+        if name == "jacobi":
+            if pall:
+                xn = kernels.jacobi_const_3d(
+                    op.values, op.offsets, b, x, 1, omega
+                )
+            else:
+                xn = jacobi(const, inv_d, b, x, 1, omega)
+            x = _faced_fix_half_sweep(op, b, x, xn, "jacobi", omega, 0)
+        elif name == "rbgs":
+            red = parity_mask_expr(x.shape)
+            for color in (0, 1):
+                if pall:
+                    xn = _rb_half_sweep_kernel(op, b, x, color)
+                else:
+                    upd = inv_d * (b - _offdiag_apply(const, x))
+                    m = red if color == 0 else ~red
+                    xn = jnp.where(m, upd, x)
+                x = _faced_fix_half_sweep(op, b, x, xn, "rb", omega, color)
+        else:
+            raise ValueError(f"unknown smoother {name!r}")
+    return x
+
+
+def _rb_half_sweep_kernel(op, b, x, color):
+    from openmg_tpu.ops import kernels
+
+    return kernels.rbgs_half_sweep_const_3d(
+        op.values, op.offsets, b, x, color
+    )
+
+
 def smooth(
     name: str,
     op: StencilOperator,
@@ -193,6 +293,8 @@ def smooth(
 ):
     if iterations <= 0:
         return x
+    if isinstance(op, FacedStencilOperator):
+        return _smooth_faced(name, op, b, x, iterations, omega, use_pallas)
     if use_pallas and op.is_constant and x.dtype == jnp.float32:
         from openmg_tpu.ops import fused, kernels
 

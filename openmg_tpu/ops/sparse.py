@@ -41,9 +41,11 @@ __all__ = [
     "CSRMatrix",
     "ELLMatrix",
     "BSRMatrix",
+    "DenseMatrix",
     "csr_from_scipy",
     "ell_from_scipy",
     "bsr_from_scipy",
+    "dense_from_scipy",
     "from_scipy",
     "to_scipy",
     "spmv",
@@ -156,9 +158,51 @@ class BSRMatrix:
         return dataclasses.replace(self, data=self.data.astype(dtype))
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data",),
+    meta_fields=("nnz",),
+)
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Dense operator — the reference's ``dense=True`` debug mode
+    (SURVEY.md R9, ``flexible_mmult``): the same cycle code runs with the
+    matrix materialized densely and the SpMV executed as one MXU matmul.
+    Only sensible for small/debug problems; ``nnz`` records the true
+    sparse nonzero count so metrics stay comparable across formats.
+    """
+
+    data: jax.Array  # (nrows, ncols)
+    nnz: int
+
+    @property
+    def shape(self) -> tuple:
+        return tuple(int(s) for s in self.data.shape)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "DenseMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
 # ---------------------------------------------------------------------------
 # host-side conversion (setup-time, one-off)
 # ---------------------------------------------------------------------------
+
+
+def dense_from_scipy(A, dtype=np.float32) -> DenseMatrix:
+    """scipy sparse / numpy dense → :class:`DenseMatrix`."""
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        nnz = int(sp.csr_matrix(A).nnz)
+        arr = A.toarray()
+    else:
+        arr = np.asarray(A)
+        nnz = int(np.count_nonzero(arr))
+    return DenseMatrix(data=jnp.asarray(arr, dtype=dtype), nnz=nnz)
 
 
 def csr_from_scipy(A, pad_nnz_to: int = 8, dtype=np.float32) -> CSRMatrix:
@@ -260,6 +304,8 @@ def from_scipy(A, fmt: str = "ell", dtype=np.float32, **kw):
         return ell_from_scipy(A, dtype=dtype, **kw)
     if fmt == "bsr":
         return bsr_from_scipy(A, dtype=dtype, **kw)
+    if fmt == "dense":
+        return dense_from_scipy(A, dtype=dtype, **kw)
     raise ValueError(f"unknown sparse format {fmt!r}")
 
 
@@ -295,6 +341,8 @@ def to_scipy(M):
         out = sp.csr_matrix(B)
         out.eliminate_zeros()
         return out
+    if isinstance(M, DenseMatrix):
+        return sp.csr_matrix(np.asarray(M.data))
     raise TypeError(f"not a sparse container: {type(M)}")
 
 
@@ -320,6 +368,8 @@ def spmv(M, x: jax.Array) -> jax.Array:
         xb = x.reshape(-1, bc)[M.bcols]  # (nbr, kb, bc)
         y = jnp.einsum("rkij,rkj->ri", M.data, xb)
         return y.reshape(-1)
+    if isinstance(M, DenseMatrix):
+        return M.data @ x
     raise TypeError(f"not a sparse container: {type(M)}")
 
 
@@ -370,4 +420,6 @@ def diagonal(M) -> jax.Array:
         k = min(br, bc)
         idx = jnp.arange(k)
         return dia_blocks[:, idx, idx].reshape(-1)
+    if isinstance(M, DenseMatrix):
+        return jnp.diagonal(M.data)
     raise TypeError(f"not a sparse container: {type(M)}")

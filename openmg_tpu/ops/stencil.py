@@ -22,7 +22,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["StencilOperator", "shift", "apply", "residual", "diag_index"]
+__all__ = [
+    "StencilOperator",
+    "FacedStencilOperator",
+    "shift",
+    "apply",
+    "residual",
+    "diag_index",
+    "set_plane",
+    "face_apply",
+]
 
 
 @functools.partial(
@@ -102,6 +111,156 @@ class StencilOperator:
         )
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("values", "face_coeffs"),
+    meta_fields=("offsets", "shape", "face_axes"),
+)
+@dataclasses.dataclass(frozen=True)
+class FacedStencilOperator:
+    """Boundary-corrected constant stencil — the exact-Galerkin fast path.
+
+    Galerkin coarsenings of constant Dirichlet-truncated operators under
+    separable radius-1 transfers are **Kronecker sums of 1D tridiagonal
+    factors whose only non-Toeplitz entry is [0, 0]** (verified numerically
+    for the linear transfer across shapes/levels; the aggregation transfer
+    yields exactly constant operators and never needs this class).  Hence
+    the operator equals a translation-invariant stencil everywhere except
+    on the *low* faces ``i_axis == 0``, where the exact coefficient planes
+    are stored densely.
+
+    * ``values``: (K,) interior taps — the constant stencil with Dirichlet
+      zero-truncation, as in :class:`StencilOperator` constant mode.
+    * ``face_axes``: static tuple of axes carrying a low-face correction.
+    * ``face_coeffs``: per face axis, the exact ``(K, *shape-minus-axis)``
+      coefficients of the rows on that face (including edge/corner values,
+      so fixing faces in sequence is idempotent where they overlap).
+
+    Kernels run the constant fast path on the full grid and then overwrite
+    the O(n²) face rows exactly — which is why linear-transfer hierarchies
+    smooth at constant-stencil speed (the varying 3^d-coefficient-grid
+    representation streamed 27 coefficient arrays per sweep).
+    """
+
+    values: jax.Array  # (K,)
+    face_coeffs: tuple  # per face axis: (K, *shape_minus_axis)
+    offsets: tuple
+    shape: tuple
+    face_axes: tuple
+
+    # ---- duck-typed StencilOperator surface ----
+    @property
+    def is_constant(self) -> bool:
+        return False
+
+    @property
+    def is_faced(self) -> bool:
+        return True
+
+    @property
+    def grid_shape(self) -> tuple:
+        return tuple(self.shape)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.offsets[0])
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def num_offsets(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def const_op(self) -> StencilOperator:
+        """The interior constant stencil as a plain operator (trace-time)."""
+        return StencilOperator(None, self.offsets, self.values, self.shape)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        return apply(self, x)
+
+    def face_inv_diag(self, face_index: int):
+        """Exact 1/diag plane for ``face_axes[face_index]``."""
+        di = diag_index(self.offsets)
+        return 1.0 / self.face_coeffs[face_index][di]
+
+    def astype(self, dtype) -> "FacedStencilOperator":
+        return dataclasses.replace(
+            self,
+            values=self.values.astype(dtype),
+            face_coeffs=tuple(f.astype(dtype) for f in self.face_coeffs),
+        )
+
+    def to_varying(self) -> StencilOperator:
+        """Materialize the full ``(K, *grid)`` coefficient array (used by
+        consumers of plain coefficient arrays, e.g. the distributed
+        sharding path; memory-heavy at large shapes — prefer builders that
+        produce varying levels directly there)."""
+        ks = []
+        for k, off in enumerate(self.offsets):
+            mask = None
+            for axis, o in enumerate(off):
+                if o == 0:
+                    continue
+                n = self.shape[axis]
+                i = jax.lax.broadcasted_iota(jnp.int32, self.shape, axis)
+                cond = i < n - o if o > 0 else i >= -o
+                mask = cond if mask is None else mask & cond
+            if mask is None:
+                ks.append(jnp.full(self.shape, self.values[k], self.dtype))
+            else:
+                ks.append(self.values[k] * mask.astype(self.dtype))
+        coeffs = jnp.stack(ks)
+        for fi, a in enumerate(self.face_axes):
+            coeffs = jax.lax.dynamic_update_slice_in_dim(
+                coeffs,
+                jnp.expand_dims(self.face_coeffs[fi], a + 1),
+                0,
+                a + 1,
+            )
+        return StencilOperator(coeffs, self.offsets)
+
+
+def set_plane(arr, axis: int, index: int, plane):
+    """Functional write of one plane ``arr[..., index, ...] = plane`` along
+    ``axis`` (XLA aliases the dynamic-update-slice in-place under jit)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        arr, jnp.expand_dims(plane, axis), index, axis
+    )
+
+
+def _take_plane(x, axis: int, index: int):
+    return jax.lax.index_in_dim(x, index, axis=axis, keepdims=False)
+
+
+def face_apply(
+    op: FacedStencilOperator, face_index: int, x, exclude_diag: bool = False
+):
+    """Exact ``(A x)`` (or ``(A − D) x``) restricted to the low face of
+    ``op.face_axes[face_index]`` — reads only planes ``i_a ∈ {0, 1}``."""
+    a = op.face_axes[face_index]
+    fc = op.face_coeffs[face_index]
+    di = diag_index(op.offsets)
+    acc = None
+    for k, off in enumerate(op.offsets):
+        if exclude_diag and k == di:
+            continue
+        oa = off[a]
+        if oa < 0:
+            continue  # neighbor at i_a = −1 is outside the domain
+        plane = _take_plane(x, a, oa)
+        rest = tuple(o for i, o in enumerate(off) if i != a)
+        term = fc[k] * shift(plane, rest)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def diag_index(offsets) -> int:
     zero = (0,) * len(offsets[0])
     return offsets.index(zero)
@@ -122,8 +281,13 @@ def shift(x: jax.Array, off) -> jax.Array:
     return lax.slice(xp, starts, limits)
 
 
-def apply(op: StencilOperator, x: jax.Array) -> jax.Array:
+def apply(op, x: jax.Array) -> jax.Array:
     """SpMV ``y = A x`` on grid-shaped ``x`` (gather-free)."""
+    if isinstance(op, FacedStencilOperator):
+        y = apply(op.const_op, x)
+        for fi, a in enumerate(op.face_axes):
+            y = set_plane(y, a, 0, face_apply(op, fi, x))
+        return y
     y = None
     for k, off in enumerate(op.offsets):
         t = op.coeff(k) * shift(x, off)
@@ -131,13 +295,20 @@ def apply(op: StencilOperator, x: jax.Array) -> jax.Array:
     return y
 
 
-def residual(op: StencilOperator, b: jax.Array, x: jax.Array) -> jax.Array:
+def residual(op, b: jax.Array, x: jax.Array) -> jax.Array:
     """``r = b − A x`` (reference component R5).
 
     Constant 3D stencils take the fused Pallas kernel (one HBM pass; the
-    jnp shift chain measured ~5× slower at 256³); everything else falls
-    back to ``b − apply(A, x)``.
+    jnp shift chain measured ~5× slower at 256³); faced operators run the
+    constant path and overwrite the face rows exactly; everything else
+    falls back to ``b − apply(A, x)``.
     """
+    if isinstance(op, FacedStencilOperator):
+        r = residual(op.const_op, b, x)
+        for fi, a in enumerate(op.face_axes):
+            rf = _take_plane(b, a, 0) - face_apply(op, fi, x)
+            r = set_plane(r, a, 0, rf)
+        return r
     if op.is_constant and x.dtype == jnp.float32:
         from openmg_tpu.ops import kernels
 

@@ -389,6 +389,28 @@ class DistributedSolver:
             raise ValueError(
                 "distributed solver requires residual_dtype='doublefloat'"
             )
+        # the sharded kernels consume plain coefficient arrays: materialize
+        # any boundary-corrected (faced) levels (distributed_setup builds
+        # with faced=False and never hits this; direct construction from a
+        # single-device hierarchy does)
+        import dataclasses as _dc
+
+        from openmg_tpu.ops.stencil import FacedStencilOperator
+
+        def _devarnish(l):
+            if not isinstance(l.A, FacedStencilOperator):
+                return l
+            A = l.A.to_varying()
+            di = A.offsets.index((0,) * l.A.ndim)
+            return _dc.replace(l, A=A, inv_diag=1.0 / A.coeff(di))
+
+        if any(
+            isinstance(l.A, FacedStencilOperator) for l in hierarchy.levels
+        ):
+            hierarchy = _dc.replace(
+                hierarchy,
+                levels=tuple(_devarnish(l) for l in hierarchy.levels),
+            )
         if config.cycle_type not in ("v", "w"):
             raise ValueError(
                 f"distributed solver supports cycle_type 'v'|'w', got "
@@ -706,5 +728,6 @@ def distributed_setup(
     config = config or SolverConfig(residual_dtype="doublefloat")
     if config.residual_dtype != "doublefloat":
         config = dataclasses.replace(config, residual_dtype="doublefloat")
-    base = setup(problem, config)
+    # faced=False: the distributed kernels shard plain coefficient arrays
+    base = setup(problem, config, faced=False)
     return DistributedSolver(base.hierarchy, config, mesh_config)

@@ -53,6 +53,7 @@ def test_greedy_colors_valid():
         ((64,), "ell", "jacobi"),
         ((32, 32), "csr", "rbgs"),
         ((16, 16, 16), "bsr", "jacobi"),
+        ((24, 24), "dense", "rbgs"),
     ],
 )
 def test_sparse_engine_converges_and_matches_direct(shape, fmt, smoother):
@@ -146,6 +147,38 @@ def test_linear_transfer_general_engine():
     assert info["converged"]
     # linear transfers converge much faster than aggregate
     assert info["cycles"] <= 15, info["cycles"]
+
+
+def test_dense_parameters_toggle():
+    """Reference ``dense=True`` debug mode (SURVEY.md R9): the same solve
+    runs with densified operators and must match the sparse engine's
+    per-cycle residual trajectory to fp tolerance."""
+    shape = (16, 16)
+    b = rhs_random(shape, seed=5).ravel()
+    params = {
+        "problemshape": shape,
+        "threshold": 1e-10,
+        "cycles": 50,
+        "smoother": "jacobi",
+    }
+    x_d, info_d = mg_solve(None, b, {**params, "dense": True})
+    assert info_d["format"] == "dense"
+    assert info_d["converged"]
+    x_s, info_s = mg_solve(None, b, {**params, "format": "ell"})
+    n = min(len(info_d["residual_norms"]), len(info_s["residual_norms"]))
+    assert np.allclose(
+        info_d["residual_norms"][:n], info_s["residual_norms"][:n], rtol=1e-4
+    )
+    assert np.linalg.norm(x_d - x_s) / np.linalg.norm(x_s) < 1e-8
+
+
+def test_dense_format_rejects_large_problems():
+    with pytest.raises(ValueError, match="debug mode"):
+        setup_sparse(
+            poisson((64, 64, 64)),
+            (64, 64, 64),
+            SolverConfig(format="dense"),
+        )
 
 
 def test_general_vs_stencil_engine_same_trajectory():
