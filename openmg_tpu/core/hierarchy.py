@@ -182,6 +182,72 @@ def detect_faced(offsets, coeffs):
     return vals, tuple(face_axes), face_planes
 
 
+def detect_cornered(offsets, coeffs):
+    """Detect the corner-collapsed structure (the sharp form of
+    :func:`detect_faced` — see :class:`~openmg_tpu.ops.stencil.
+    CorneredOperator`): the tap at row ``i`` for offset ``o`` depends only
+    on ``{b : i_b == 0 and o_b == 0}``.  Exact over the whole array
+    (verified by rebuilding it from the extracted table and comparing
+    bit-for-bit).  Returns ``(values, subsets, deltas)`` in inclusion–
+    exclusion form, or None.
+
+    ``coeffs`` may be a boundary-collapsed representative (see
+    :func:`detect_faced` — the argument carries over unchanged).
+    """
+    import itertools
+
+    shape = coeffs.shape[1:]
+    d = len(shape)
+    if any(s < 3 for s in shape):
+        return None
+    K = coeffs.shape[0]
+    mid = tuple(s // 2 for s in shape)
+    base = np.array([coeffs[k][mid] for k in range(K)])
+
+    all_subsets = []
+    for size in range(1, d + 1):
+        all_subsets.extend(
+            tuple(c) for c in itertools.combinations(range(d), size)
+        )
+    # Möbius extraction: delta_S[k] = g_S[k] − base[k] − Σ_{S'⊊S} delta_S'[k]
+    deltas = {}
+    for S in all_subsets:
+        pt = tuple(0 if b in S else mid[b] for b in range(d))
+        dS = np.zeros(K, dtype=coeffs.dtype)
+        for k, off in enumerate(offsets):
+            if not all(off[b] == 0 for b in S):
+                continue  # tap never uses this delta
+            g = coeffs[k][pt]
+            acc = base[k]
+            for Sp in all_subsets:
+                if Sp != S and set(Sp) < set(S):
+                    acc += deltas[Sp][k]
+            dS[k] = g - acc
+        deltas[S] = dS
+    subsets = tuple(S for S in all_subsets if np.any(deltas[S]))
+    if not subsets:
+        return None  # exactly constant — the plain constant path applies
+
+    # exact verification: rebuild every coefficient array from the table
+    for k, off in enumerate(offsets):
+        tap = np.full(shape, base[k], dtype=coeffs.dtype)
+        for S in subsets:
+            if not all(off[b] == 0 for b in S):
+                continue
+            sel = np.ones(shape, dtype=bool)
+            for b in S:
+                idx = [slice(None)] * d
+                idx[b] = slice(1, None)
+                m = np.ones(shape, dtype=bool)
+                m[tuple(idx)] = False
+                sel &= m
+            tap = tap + deltas[S][k] * sel
+        expect = tap * _exists_mask(off, shape)
+        if not np.array_equal(coeffs[k], expect):
+            return None
+    return base, subsets, tuple(deltas[S] for S in subsets)
+
+
 def detect_constant(offsets, coeffs):
     """Return the ``(K,)`` value vector if the (numpy) operator is exactly
     constant-coefficient with zero Dirichlet truncation, else None."""
@@ -354,7 +420,7 @@ def build_hierarchy_structured(
     coefficient arrays).
     """
     from openmg_tpu.core.structured import expand_rep, expand_rep_np, structured_chain
-    from openmg_tpu.ops.stencil import FacedStencilOperator
+    from openmg_tpu.ops.stencil import CorneredOperator, FacedStencilOperator
 
     shape = tuple(int(s) for s in shape)
     offsets = tuple(tuple(o) for o in offsets)
@@ -371,6 +437,10 @@ def build_hierarchy_structured(
         vals = detect_constant(lvl.offsets, lvl.rep)
         if vals is not None:
             plans.append(("const", lvl, vals))
+            continue
+        cd = detect_cornered(lvl.offsets, lvl.rep) if faced else None
+        if cd is not None:
+            plans.append(("cornered", lvl, cd))
             continue
         fd = detect_faced(lvl.offsets, lvl.rep) if faced else None
         if fd is not None:
@@ -405,6 +475,23 @@ def build_hierarchy_structured(
                 lvl.offsets,
                 jnp.asarray(vals.astype(np.dtype(dtype))),
                 lvl.real_shape,
+            )
+            levels.append(
+                Level(
+                    A=op,
+                    inv_diag=jnp.asarray(1.0 / vals[di], dtype=dtype),
+                )
+            )
+        elif kind == "cornered":
+            vals, subsets, devs = payload
+            op = CorneredOperator(
+                values=jnp.asarray(vals.astype(np.dtype(dtype))),
+                deltas=jnp.asarray(
+                    np.stack(devs).astype(np.dtype(dtype))
+                ),
+                offsets=lvl.offsets,
+                shape=lvl.real_shape,
+                subsets=subsets,
             )
             levels.append(
                 Level(
@@ -463,10 +550,15 @@ def build_hierarchy_structured(
         if not fine_op.is_constant:
             raise ValueError("structured setup requires a constant fine operator")
         fine_hi = fine_op
+        # a host-side zeros put, NOT jnp.zeros_like: an eager zeros_like is
+        # a compiled device program, and each fresh tiny program costs a
+        # 20–120 s lazy backend compile through this environment's relay
         fine_hi_lo = StencilOperator(
             None,
             fine_op.offsets,
-            jnp.zeros_like(fine_op.values),
+            jnp.asarray(
+                np.zeros(len(fine_op.offsets), dtype=np.dtype(dtype))
+            ),
             fine_op.grid_shape,
         )
     else:

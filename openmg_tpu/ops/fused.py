@@ -73,14 +73,18 @@ def stages_for(name: str, iterations: int, omega: float):
     return None
 
 
-def _fit_tz(shape, depth: int, has_x: bool, n_out: int):
+def _fit_tz(shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1):
     """Largest power-of-two slab height whose estimated scoped-VMEM usage
     fits the calibrated budget, or None.
 
     Usage model (empirical, see _SCOPED_BUDGET): double-buffered in/out
     blocks — b as an E=(tz+2·depth)-plane window, x likewise if present,
     n_out outputs of tz planes — plus ~2 E-plane intermediates each for
-    the extended x and b slabs the stage loop keeps alive."""
+    the extended x and b slabs the stage loop keeps alive.
+
+    ``min_tz``: cornered kernels require ``tz ≥ depth + 1`` so global row
+    z = 0 appears only in tile 0's extended slab (at static local index
+    ``depth``) — the z-region fix-ups rely on that."""
     nz, ny, nx = shape
     if nz < 2 or ny < 2 or nx < 128 or nx % 128:
         return None
@@ -100,16 +104,30 @@ def _fit_tz(shape, depth: int, has_x: bool, n_out: int):
     tz = 1
     while tz * 2 <= nz and nz % (tz * 2) == 0 and fits(tz * 2):
         tz *= 2
+    if tz < min_tz or tz > nz or nz % tz:
+        return None
     return tz
 
 
 def _stencil_ok(op, b) -> bool:
+    from openmg_tpu.ops.stencil import CorneredOperator
+
     return (
-        op.is_constant
+        (op.is_constant or isinstance(op, CorneredOperator))
         and b.dtype == jnp.float32
         and len(b.shape) == 3
         and all(abs(o) <= 1 for off in op.offsets for o in off)
     )
+
+
+def _corner_info(op):
+    """(regions, (n_regions, K) tap table) for a cornered operator, else
+    None — the static/traced payload the fused kernels consume."""
+    from openmg_tpu.ops.stencil import CorneredOperator, region_table
+
+    if isinstance(op, CorneredOperator):
+        return tuple(tuple(R) for R in op.regions), region_table(op)
+    return None
 
 
 def _shift_ext(w, off, ny, nx):
@@ -148,13 +166,139 @@ def _apply_ext(vals_ref, offsets, w, ny, nx, skip_diag: bool):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# in-kernel cornered-operator region fix-ups (CorneredOperator semantics —
+# see ops/stencil.py): after every constant-tap stage, the face/edge/corner
+# rows are overwritten with their exact-tap update, pass per region in
+# ascending |S| order.  All corrected taps are scalars from the SMEM region
+# table, so the corrections cost only small-plane VPU work — no extra HBM
+# streams.  The z-containing regions rely on global row 0 appearing ONLY in
+# tile 0's extended slab (guaranteed by tz ≥ depth + 1, enforced in the fit
+# checks) at static local index ``depth``; their selects mask on gp == 0,
+# which is identically false elsewhere.
+# ---------------------------------------------------------------------------
+
+
+def _region_term(W, off, R, depth, ny, nx):
+    """``shift(W, off)`` restricted to the region rows of ``R`` (axes in R
+    extracted at static index ``off[b]``, remaining axes shifted with the
+    usual Dirichlet masks / zero-inflow-z semantics)."""
+    sub = W
+    if 0 in R:
+        z = depth + off[0]
+        sub = sub[z:z + 1]
+    if 1 in R:
+        sub = sub[:, off[1]:off[1] + 1, :]
+    if 2 in R:
+        sub = sub[:, :, off[2]:off[2] + 1]
+    oz, oy, ox = off
+    if 0 not in R and oz != 0:
+        zp = jnp.zeros_like(sub[:1])
+        if oz == 1:
+            sub = jnp.concatenate([sub[1:], zp], axis=0)
+        else:
+            sub = jnp.concatenate([zp, sub[:-1]], axis=0)
+    if 1 not in R and oy != 0:
+        sub = jnp.roll(sub, -oy, axis=1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+        m = (iy < ny - 1) if oy == 1 else (iy > 0)
+        sub = sub * m.astype(sub.dtype)
+    if 2 not in R and ox != 0:
+        sub = jnp.roll(sub, -ox, axis=2)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+        m = (ix < nx - 1) if ox == 1 else (ix > 0)
+        sub = sub * m.astype(sub.dtype)
+    return sub
+
+
+def _region_extract(W, R, depth):
+    out = W
+    if 0 in R:
+        out = out[depth:depth + 1]
+    if 1 in R:
+        out = out[:, 0:1, :]
+    if 2 in R:
+        out = out[:, :, 0:1]
+    return out
+
+
+def _region_acc(tbl_ref, r, R, offsets, W, depth, ny, nx, skip_diag):
+    di = offsets.index((0, 0, 0))
+    acc = None
+    for k, off in enumerate(offsets):
+        if skip_diag and k == di:
+            continue
+        if any(off[b] < 0 for b in R):
+            continue  # neighbor at i_b = −1 is outside the domain
+        term = tbl_ref[r, k] * _region_term(W, off, R, depth, ny, nx)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _region_sel(R, gp, iy, ix):
+    sel = None
+    for b, m in ((0, gp == 0), (1, iy == 0), (2, ix == 0)):
+        if b in R:
+            sel = m if sel is None else jnp.logical_and(sel, m)
+    return sel
+
+
+def _corner_fix_stage(
+    tbl_ref, regions, offsets, X_old, X_new, B, kind, p,
+    depth, ny, nx, gp, iy, ix,
+):
+    """Overwrite region rows of the post-stage ``X_new`` with exact-tap
+    updates computed from the pre-stage ``X_old``."""
+    di = offsets.index((0, 0, 0))
+    for r, R in enumerate(regions):
+        diag = tbl_ref[r, di]
+        B_R = _region_extract(B, R, depth)
+        Xo_R = _region_extract(X_old, R, depth)
+        if kind == "jacobi":
+            acc = _region_acc(
+                tbl_ref, r, R, offsets, X_old, depth, ny, nx, False
+            )
+            om = jnp.asarray(p, dtype=X_old.dtype)
+            upd = Xo_R + om * (B_R - acc) / diag
+        else:  # ("rb", color)
+            acc = _region_acc(
+                tbl_ref, r, R, offsets, X_old, depth, ny, nx, True
+            )
+            xn = (B_R - acc) / diag
+            par = jnp.zeros((), jnp.int32)
+            if 0 not in R:
+                par = par + gp
+            if 1 not in R:
+                par = par + iy
+            if 2 not in R:
+                par = par + ix
+            upd = jnp.where((par & 1) == p, xn, Xo_R)
+        X_new = jnp.where(_region_sel(R, gp, iy, ix), upd, X_new)
+    return X_new
+
+
+def _corner_fix_residual(
+    tbl_ref, regions, offsets, X, r_out, B, depth, ny, nx, gp, iy, ix
+):
+    for r, R in enumerate(regions):
+        acc = _region_acc(tbl_ref, r, R, offsets, X, depth, ny, nx, False)
+        r_R = _region_extract(B, R, depth) - acc
+        r_out = jnp.where(_region_sel(R, gp, iy, ix), r_R, r_out)
+    return r_out
+
+
 def _fused_kernel(
     vals_ref, *refs, offsets, stages, emit_residual, has_x,
-    tz, depth, ny, nx, nz,
+    tz, depth, ny, nx, nz, regions,
 ):
     i = pl.program_id(0)
     E = tz + 2 * depth
     nb = 1 + 2 * depth
+
+    if regions:
+        tbl_ref, refs = refs[0], refs[1:]
+    else:
+        tbl_ref = None
 
     def ext(rs):
         # rs: [tile, lo_D..lo_1, hi_1..hi_D] → (E, ny, nx)
@@ -181,27 +325,43 @@ def _fused_kernel(
         if kind == "jacobi":
             acc = _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
             om = jnp.asarray(p, dtype=X.dtype)
-            X = (X + om * (inv_d * (B - acc))) * zvalid
+            Xn = X + om * (inv_d * (B - acc))
         else:  # ("rb", color)
             acc = _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=True)
             xn = inv_d * (B - acc)
             par = (gp + iy + ix) & 1
-            X = jnp.where(par == p, xn, X) * zvalid
+            Xn = jnp.where(par == p, xn, X)
+        if regions:
+            Xn = _corner_fix_stage(
+                tbl_ref, regions, offsets, X, Xn, B, kind, p,
+                depth, ny, nx, gp, iy, ix,
+            )
+        X = Xn * zvalid
 
     out_refs[0][...] = X[depth: depth + tz]
     if emit_residual:
         r = B - _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
+        if regions:
+            r = _corner_fix_residual(
+                tbl_ref, regions, offsets, X, r, B, depth, ny, nx, gp, iy, ix
+            )
         out_refs[1][...] = r[depth: depth + tz]
 
 
 def fused_stages_const_3d(
-    values, offsets, b, x, stages, emit_residual: bool = False, tz=None
+    values, offsets, b, x, stages, emit_residual: bool = False, tz=None,
+    corner=None,
 ):
     """Run ``stages`` half-sweeps (and optionally the final residual) for a
     constant 3D stencil in one Pallas pass.  ``x=None`` means a zero
     initial guess (the array is never read).  Returns ``x_out`` or
     ``(x_out, r)``.  Caller must have checked :func:`_fit_tz`; ``tz``
-    overrides the slab height (benchmark tuning)."""
+    overrides the slab height (benchmark tuning).
+
+    ``corner``: optional ``(regions, (n_regions, K) tap table)`` payload of
+    a :class:`~openmg_tpu.ops.stencil.CorneredOperator` — enables the
+    in-kernel exact face/edge/corner fix-ups after every stage (and on the
+    emitted residual)."""
     offsets = tuple(tuple(o) for o in offsets)
     stages = tuple((str(k), (float(p) if k == "jacobi" else int(p)))
                    for k, p in stages)
@@ -209,8 +369,10 @@ def fused_stages_const_3d(
     has_x = x is not None
     depth = len(stages) + (1 if emit_residual else 0)
     n_out = 2 if emit_residual else 1
+    regions = tuple(tuple(R) for R in corner[0]) if corner else ()
+    min_tz = depth + 1 if regions else 1
     if tz is None:
-        tz = _fit_tz(b.shape, depth, has_x, n_out)
+        tz = _fit_tz(b.shape, depth, has_x, n_out, min_tz=min_tz)
     if tz is None:
         raise ValueError("fused stages do not fit VMEM for this shape")
     gz = nz // tz
@@ -247,6 +409,14 @@ def fused_stages_const_3d(
         )
     ]
     operands = [values.reshape(1, -1)]
+    if regions:
+        tbl = corner[1]
+        in_specs.append(
+            pl.BlockSpec(
+                tuple(tbl.shape), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        operands.append(tbl)
     in_specs += specs_for_array()
     operands += [b] * (1 + 2 * depth)
     if has_x:
@@ -265,6 +435,7 @@ def fused_stages_const_3d(
         ny=ny,
         nx=nx,
         nz=nz,
+        regions=regions,
     )
     interpret = jax.default_backend() != "tpu"
     extra = (
@@ -296,10 +467,12 @@ def smooth_fused(name, op, b, x, iterations: int, omega: float):
     stages = stages_for(name, iterations, omega)
     if stages is None or len(stages) < 2 or not _stencil_ok(op, b):
         return None
+    corner = _corner_info(op)
+    min_tz_for = (lambda c: c + 1) if corner else (lambda c: 1)
     remaining = list(stages)
     max_chunk = 0
     for c in range(min(len(stages), MAX_CHUNK), 1, -1):
-        if _fit_tz(b.shape, c, True, 1) is not None:
+        if _fit_tz(b.shape, c, True, 1, min_tz=min_tz_for(c)) is not None:
             max_chunk = c
             break
     if max_chunk < 2:
@@ -307,7 +480,9 @@ def smooth_fused(name, op, b, x, iterations: int, omega: float):
     while remaining:
         c = min(max_chunk, len(remaining))
         chunk, remaining = remaining[:c], remaining[c:]
-        x = fused_stages_const_3d(op.values, op.offsets, b, x, chunk)
+        x = fused_stages_const_3d(
+            op.values, op.offsets, b, x, chunk, corner=corner
+        )
     return x
 
 
@@ -317,9 +492,12 @@ def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
     stages = stages_for(name, iterations, omega)
     if stages is None or not stages or not _stencil_ok(op, b):
         return None
+    corner = _corner_info(op)
     depth = len(stages) + 1
-    if depth > MAX_CHUNK or _fit_tz(b.shape, depth, False, 2) is None:
+    min_tz = depth + 1 if corner else 1
+    if depth > MAX_CHUNK or _fit_tz(b.shape, depth, False, 2, min_tz=min_tz) is None:
         return None
     return fused_stages_const_3d(
-        op.values, op.offsets, b, None, stages, emit_residual=True
+        op.values, op.offsets, b, None, stages, emit_residual=True,
+        corner=corner,
     )

@@ -27,14 +27,19 @@ import jax
 import jax.numpy as jnp
 
 from openmg_tpu.ops.stencil import (
+    CorneredOperator,
     FacedStencilOperator,
     StencilOperator,
     apply,
     diag_index,
     face_apply,
+    region_apply,
+    region_rows,
+    region_table,
     residual,
     set_plane,
     shift,
+    write_region,
 )
 
 __all__ = [
@@ -129,6 +134,24 @@ def gershgorin_lambda_max(op: StencilOperator, inv_diag):
     one fused reduction for varying ones.  Exactly 2 for Poisson.
     """
     di = diag_index(op.offsets)
+    if isinstance(op, CorneredOperator):
+        tbl = region_table(op)
+        offsum_int = sum(
+            jnp.abs(op.values[k]) for k in range(op.num_offsets) if k != di
+        )
+        lam = 1.0 + offsum_int / jnp.abs(op.values[di])
+        for r, R in enumerate(op.regions):
+            offsum = sum(
+                jnp.abs(tbl[r, k])
+                for k, off in enumerate(op.offsets)
+                # taps reaching i_b = −1 for b ∈ R are out of domain on
+                # every row of the region — excluding them tightens the
+                # bound (remaining boundary truncation still only
+                # over-counts, so the bound stays valid)
+                if k != di and not any(off[b] < 0 for b in R)
+            )
+            lam = jnp.maximum(lam, 1.0 + offsum / jnp.abs(tbl[r, di]))
+        return lam
     if isinstance(op, FacedStencilOperator):
         offsum_int = sum(
             jnp.abs(op.values[k]) for k in range(op.num_offsets) if k != di
@@ -196,6 +219,97 @@ def chebyshev(
         d = ((2 * k - 1) / (2 * k + 3)) * d + (
             (8 * k + 4) / (2 * k + 3)
         ) / lam_max * inv_diag * r
+    return x
+
+
+def _cornered_fix_half_sweep(op, tbl, b, x_old, x_new, mode, omega, color):
+    """Overwrite the face/edge/corner rows of ``x_new`` with the exact
+    half-sweep update computed from ``x_old`` (pre-sweep iterate), pass per
+    region in ascending |S| order — deeper regions overwrite, so every row
+    ends with its exact-tap update (:class:`CorneredOperator` semantics).
+    All taps per pass are scalars from the region table."""
+    di = diag_index(op.offsets)
+    for r, R in enumerate(op.regions):
+        diag = tbl[r, di]
+        b_R = region_rows(b, R)
+        x_R = region_rows(x_old, R)
+        if mode == "jacobi":
+            om = jnp.asarray(omega, dtype=x_R.dtype)
+            upd = x_R + om * (b_R - region_apply(op, tbl, r, R, x_old)) / diag
+        else:  # red-black half-sweep, this color only
+            xn = (
+                b_R
+                - region_apply(op, tbl, r, R, x_old, exclude_diag=True)
+            ) / diag
+            red = parity_mask_expr(x_R.shape)
+            m = red if color == 0 else ~red
+            upd = jnp.where(m, xn, x_R)
+        x_new = write_region(x_new, R, upd)
+    return x_new
+
+
+def cornered_inv_diag_full(op: CorneredOperator, dtype=None):
+    """Full-grid exact 1/diag for a cornered operator (Chebyshev/diagnostic
+    use; the half-sweep paths never materialize it)."""
+    dtype = dtype or op.dtype
+    tbl = region_table(op)
+    di = diag_index(op.offsets)
+    invd = jnp.full(op.grid_shape, 1.0 / op.values[di], dtype=dtype)
+    for r, R in enumerate(op.regions):
+        block_shape = tuple(
+            1 if b in R else s for b, s in enumerate(op.grid_shape)
+        )
+        block = jnp.broadcast_to(
+            (1.0 / tbl[r, di]).astype(dtype), block_shape
+        )
+        invd = write_region(invd, R, block)
+    return invd
+
+
+def _smooth_cornered(name, op, b, x, iterations, omega, use_pallas):
+    """Smoothing on a cornered operator: constant-stencil half-sweeps on
+    the full grid (deep-fused Pallas with in-kernel region fix-ups when
+    supported; else per-half-sweep kernel/jnp + region fix-ups)."""
+    from openmg_tpu.ops import fused, kernels
+
+    const = op.const_op
+    di = diag_index(op.offsets)
+    inv_d = 1.0 / op.values[di]
+    if name == "chebyshev":
+        return chebyshev(op, cornered_inv_diag_full(op, x.dtype), b, x, iterations)
+    if use_pallas and x.dtype == jnp.float32:
+        y = fused.smooth_fused(name, op, b, x, iterations, omega)
+        if y is not None:
+            return y
+    tbl = region_table(op)
+    pall = (
+        use_pallas
+        and x.dtype == jnp.float32
+        and kernels.supports(op.offsets, x.shape)
+    )
+    for _ in range(iterations):
+        if name == "jacobi":
+            if pall:
+                xn = kernels.jacobi_const_3d(
+                    op.values, op.offsets, b, x, 1, omega
+                )
+            else:
+                xn = jacobi(const, inv_d, b, x, 1, omega)
+            x = _cornered_fix_half_sweep(op, tbl, b, x, xn, "jacobi", omega, 0)
+        elif name == "rbgs":
+            red = parity_mask_expr(x.shape)
+            for color in (0, 1):
+                if pall:
+                    xn = kernels.rbgs_half_sweep_const_3d(
+                        op.values, op.offsets, b, x, color
+                    )
+                else:
+                    upd = inv_d * (b - _offdiag_apply(const, x))
+                    m = red if color == 0 else ~red
+                    xn = jnp.where(m, upd, x)
+                x = _cornered_fix_half_sweep(op, tbl, b, x, xn, "rb", omega, color)
+        else:
+            raise ValueError(f"unknown smoother {name!r}")
     return x
 
 
@@ -293,6 +407,8 @@ def smooth(
 ):
     if iterations <= 0:
         return x
+    if isinstance(op, CorneredOperator):
+        return _smooth_cornered(name, op, b, x, iterations, omega, use_pallas)
     if isinstance(op, FacedStencilOperator):
         return _smooth_faced(name, op, b, x, iterations, omega, use_pallas)
     if use_pallas and op.is_constant and x.dtype == jnp.float32:

@@ -25,12 +25,17 @@ from jax import lax
 __all__ = [
     "StencilOperator",
     "FacedStencilOperator",
+    "CorneredOperator",
     "shift",
     "apply",
     "residual",
     "diag_index",
     "set_plane",
     "face_apply",
+    "region_table",
+    "region_apply",
+    "region_rows",
+    "write_region",
 ]
 
 
@@ -227,6 +232,198 @@ class FacedStencilOperator:
         return StencilOperator(coeffs, self.offsets)
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("values", "deltas"),
+    meta_fields=("offsets", "shape", "subsets"),
+)
+@dataclasses.dataclass(frozen=True)
+class CorneredOperator:
+    """Corner-collapsed boundary-corrected constant stencil — the compact
+    exact-Galerkin representation.
+
+    Sharper structure than :class:`FacedStencilOperator` (verified
+    numerically across shapes/levels/transfers, and provable from the 1D
+    factor form): for Galerkin coarsenings of constant Dirichlet-truncated
+    operators under separable radius-1 transfers, **the tap value at row
+    ``i`` for offset ``o`` depends only on the set of axes
+    ``{b : i_b == 0 and o_b == 0}``** — every 1D transfer/operator factor
+    is Toeplitz except its ``[0, 0]`` entry, and coarse taps are sums of
+    products of 1D factor entries.
+
+    Storage is therefore O(K) total: the interior taps ``values`` plus one
+    ``(K,)`` deviation row per nonempty axis subset ``S`` (inclusion–
+    exclusion form; rows stacked into one ``(n_subsets, K)`` array —
+    through this environment's remote TPU relay every small device_put is
+    a round-trip, so the per-subset vectors ship as a single transfer) —
+
+        tap(i, k) = values[k] + Σ_{S ∈ subsets, S ⊆ Z(i) ∩ Z(o_k)} deltas[S][k]
+
+    with ``Z(i) = {b : i_b = 0}`` and ``Z(o) = {b : o_b = 0}``.  Unlike the
+    dense face planes this fits in SMEM, which is what lets the deep-fusion
+    Pallas smoothers (ops/fused.py) run boundary-corrected levels at
+    constant-stencil speed with in-kernel face/edge/corner fix-ups.
+    """
+
+    values: jax.Array  # (K,) interior taps
+    deltas: jax.Array  # (n_subsets, K) deviation rows, aligned with subsets
+    offsets: tuple
+    shape: tuple
+    subsets: tuple  # static nonempty axis subsets (tuples), ascending |S|
+
+    # ---- duck-typed StencilOperator surface ----
+    @property
+    def is_constant(self) -> bool:
+        return False
+
+    @property
+    def is_cornered(self) -> bool:
+        return True
+
+    @property
+    def grid_shape(self) -> tuple:
+        return tuple(self.shape)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.offsets[0])
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def num_offsets(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def face_axes(self) -> tuple:
+        """Axes carrying any boundary deviation (union of the subsets)."""
+        return tuple(sorted({b for S in self.subsets for b in S}))
+
+    @property
+    def regions(self) -> tuple:
+        """All nonempty subsets of ``face_axes``, ascending |S| — the fix-up
+        pass order (each pass overwrites the previous passes' rows on its
+        deeper intersection, so the last write is always the exact one)."""
+        axes = self.face_axes
+        out = []
+        for size in range(1, len(axes) + 1):
+            out.extend(_subsets_of_size(axes, size))
+        return tuple(out)
+
+    @property
+    def const_op(self) -> StencilOperator:
+        """The interior constant stencil as a plain operator (trace-time)."""
+        return StencilOperator(None, self.offsets, self.values, self.shape)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        return apply(self, x)
+
+    def astype(self, dtype) -> "CorneredOperator":
+        return dataclasses.replace(
+            self,
+            values=self.values.astype(dtype),
+            deltas=self.deltas.astype(dtype),
+        )
+
+    def to_varying(self) -> StencilOperator:
+        """Materialize the full ``(K, *grid)`` coefficient array."""
+        tbl = region_table(self)
+        ks = []
+        for k, off in enumerate(self.offsets):
+            mask = None
+            for axis, o in enumerate(off):
+                if o == 0:
+                    continue
+                n = self.shape[axis]
+                i = jax.lax.broadcasted_iota(jnp.int32, self.shape, axis)
+                cond = i < n - o if o > 0 else i >= -o
+                mask = cond if mask is None else mask & cond
+            tap = jnp.full(self.shape, self.values[k], self.dtype)
+            for r, R in enumerate(self.regions):
+                if not all(off[b] == 0 for b in R):
+                    continue
+                sel = None
+                for b in R:
+                    zb = jax.lax.broadcasted_iota(jnp.int32, self.shape, b) == 0
+                    sel = zb if sel is None else sel & zb
+                tap = jnp.where(sel, tbl[r, k], tap)
+            if mask is not None:
+                tap = tap * mask.astype(self.dtype)
+            ks.append(tap)
+        return StencilOperator(jnp.stack(ks), self.offsets)
+
+
+def _subsets_of_size(axes, size):
+    import itertools
+
+    return [tuple(c) for c in itertools.combinations(axes, size)]
+
+
+def region_table(op: CorneredOperator):
+    """Per-(region, offset) cumulative tap table, ``(n_regions, K)``.
+
+    ``tbl[r, k] = values[k] + Σ_{S ⊆ R_r ∩ Z(o_k)} deltas[S][k]`` — the
+    exact tap a row in region ``R_r`` (coordinates zero exactly on a
+    superset of ``R_r``; fix-up passes run ascending so deeper regions
+    overwrite) uses for offset ``k``.  Trace-time (K,) arithmetic only;
+    the result is small enough for SMEM in the Pallas kernels.
+    """
+    rows = []
+    for R in op.regions:
+        row = op.values
+        for si, S in enumerate(op.subsets):
+            if not set(S) <= set(R):
+                continue
+            m = np.array(
+                [all(off[b] == 0 for b in S) for off in op.offsets]
+            )
+            row = row + op.deltas[si] * jnp.asarray(m, dtype=op.values.dtype)
+        rows.append(row)
+    return jnp.stack(rows)
+
+
+def region_rows(x, R, index=0):
+    """Extract the rows with ``i_b == index_b`` for each ``b ∈ R`` (size-1
+    kept dims), where ``index`` is an int or per-axis mapping."""
+    out = x
+    for b in R:
+        ib = index[b] if isinstance(index, dict) else index
+        out = jax.lax.slice_in_dim(out, ib, ib + 1, axis=b)
+    return out
+
+
+def write_region(arr, R, block):
+    """Write ``block`` (region-shaped, size-1 dims on axes in R) into the
+    region rows at index 0 (one contiguous dynamic-update-slice)."""
+    return jax.lax.dynamic_update_slice(
+        arr, block, (jnp.int32(0),) * arr.ndim
+    )
+
+
+def region_apply(op: CorneredOperator, tbl, r: int, R, x, exclude_diag=False):
+    """Exact ``(A x)`` (or ``(A − D) x``) restricted to the region rows of
+    ``R`` — reads only the planes/lines ``i_b ∈ {0 .. max offset}`` for
+    ``b ∈ R``; taps are the scalar ``tbl[r, k]`` entries."""
+    di = diag_index(op.offsets)
+    acc = None
+    for k, off in enumerate(op.offsets):
+        if exclude_diag and k == di:
+            continue
+        if any(off[b] < 0 for b in R):
+            continue  # neighbor at i_b = −1 is outside the domain
+        src = region_rows(x, R, index={b: off[b] for b in R})
+        rest = tuple(0 if b in R else o for b, o in enumerate(off))
+        term = tbl[r, k] * shift(src, rest)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def set_plane(arr, axis: int, index: int, plane):
     """Functional write of one plane ``arr[..., index, ...] = plane`` along
     ``axis`` (XLA aliases the dynamic-update-slice in-place under jit)."""
@@ -283,6 +480,12 @@ def shift(x: jax.Array, off) -> jax.Array:
 
 def apply(op, x: jax.Array) -> jax.Array:
     """SpMV ``y = A x`` on grid-shaped ``x`` (gather-free)."""
+    if isinstance(op, CorneredOperator):
+        y = apply(op.const_op, x)
+        tbl = region_table(op)
+        for r, R in enumerate(op.regions):
+            y = write_region(y, R, region_apply(op, tbl, r, R, x))
+        return y
     if isinstance(op, FacedStencilOperator):
         y = apply(op.const_op, x)
         for fi, a in enumerate(op.face_axes):
@@ -303,6 +506,13 @@ def residual(op, b: jax.Array, x: jax.Array) -> jax.Array:
     constant path and overwrite the face rows exactly; everything else
     falls back to ``b − apply(A, x)``.
     """
+    if isinstance(op, CorneredOperator):
+        r = residual(op.const_op, b, x)
+        tbl = region_table(op)
+        for ri, R in enumerate(op.regions):
+            rr = region_rows(b, R) - region_apply(op, tbl, ri, R, x)
+            r = write_region(r, R, rr)
+        return r
     if isinstance(op, FacedStencilOperator):
         r = residual(op.const_op, b, x)
         for fi, a in enumerate(op.face_axes):

@@ -395,17 +395,18 @@ class DistributedSolver:
         # single-device hierarchy does)
         import dataclasses as _dc
 
-        from openmg_tpu.ops.stencil import FacedStencilOperator
+        from openmg_tpu.ops.stencil import CorneredOperator, FacedStencilOperator
 
         def _devarnish(l):
-            if not isinstance(l.A, FacedStencilOperator):
+            if not isinstance(l.A, (CorneredOperator, FacedStencilOperator)):
                 return l
             A = l.A.to_varying()
             di = A.offsets.index((0,) * l.A.ndim)
             return _dc.replace(l, A=A, inv_diag=1.0 / A.coeff(di))
 
         if any(
-            isinstance(l.A, FacedStencilOperator) for l in hierarchy.levels
+            isinstance(l.A, (CorneredOperator, FacedStencilOperator))
+            for l in hierarchy.levels
         ):
             hierarchy = _dc.replace(
                 hierarchy,

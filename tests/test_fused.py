@@ -126,3 +126,72 @@ def test_solve_through_fused_path_converges():
     x, info = solver.solve(b)
     assert info["converged"]
     assert info["final_norm"] < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# cornered-operator fused path (in-kernel region fix-ups)
+# ---------------------------------------------------------------------------
+
+
+def _cornered_level(shape=(32, 32, 256), level=1):
+    from openmg_tpu import SolverConfig, setup
+    from openmg_tpu.ops.stencil import CorneredOperator
+
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat"
+    )
+    h = setup(shape, cfg, faced=True).hierarchy
+    L = h.levels[level]
+    assert isinstance(L.A, CorneredOperator)
+    return L.A
+
+
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+def test_smooth_fused_cornered_matches_jnp(name):
+    from openmg_tpu.ops.smoothers import _smooth_cornered
+
+    op = _cornered_level()
+    b = rand(op.grid_shape, seed=11)
+    x = rand(op.grid_shape, seed=12)
+    got = fused.smooth_fused(name, op, b, x, 2, 2.0 / 3.0)
+    assert got is not None, "cornered deep fusion should engage"
+    want = _smooth_cornered(name, op, b, x, 2, 2.0 / 3.0, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+def test_presmooth_residual_fused_cornered(name):
+    from openmg_tpu.ops.smoothers import _smooth_cornered
+    from openmg_tpu.ops.stencil import residual as exact_residual
+
+    op = _cornered_level()
+    b = rand(op.grid_shape, seed=13)
+    out = fused.presmooth_residual_fused(name, op, b, 2, 2.0 / 3.0)
+    assert out is not None
+    xs, r = out
+    x_ref = _smooth_cornered(
+        name, op, b, jnp.zeros(op.grid_shape, jnp.float32), 2, 2.0 / 3.0,
+        use_pallas=False,
+    )
+    r_ref = exact_residual(op, b, x_ref)
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(x_ref), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(r_ref), rtol=0, atol=2e-5
+    )
+
+
+def test_cornered_min_tz_constraint():
+    """Cornered fusion requires tz ≥ depth+1 (z-region fix-ups rely on
+    global row 0 living only in tile 0's slab); when the grid is too small
+    for that, the fused path must decline rather than compute wrongly."""
+    op = _cornered_level()
+    # nz = 16 at level 1 of a (32, ...) problem: a depth-5 chunk needs
+    # tz ≥ 6 → tz = 8 which divides 16, so it should engage...
+    stages = fused.stages_for("rbgs", 2, 0.0)
+    tz = fused._fit_tz(op.grid_shape, len(stages) + 1, False, 2,
+                       min_tz=len(stages) + 2)
+    assert tz is None or tz >= len(stages) + 2
