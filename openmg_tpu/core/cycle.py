@@ -63,26 +63,38 @@ def v_cycle(
     pre-smooth + residual then take the fused zero-start Pallas kernel
     (ops/fused.py), which reads only ``b``.
     """
+    from openmg_tpu.ops import fused
+
     L = hierarchy.levels[level]
     if level == hierarchy.num_levels - 1:
         return coarse_solve(hierarchy, b)
-    fused_pre = None
-    if x_zero:
-        if pre == 0:
-            x, r = x, b  # r = b − A·0
-            fused_pre = (x, r)
+    # deepest fusion first: pre-smooth + residual + restriction in ONE
+    # Pallas pass (never materializes the fine residual); then the
+    # pre-smooth + residual pair; then the separate jnp/Pallas pieces
+    bc = None
+    if pre > 0:
+        out = fused.presmooth_restrict_fused(
+            smoother, L.A, b, None if x_zero else x, pre, omega,
+            hierarchy.transfer,
+        )
+        if out is not None:
+            x, bc = out
+    if bc is None:
+        fused_pre = None
+        if x_zero:
+            if pre == 0:
+                x, r = x, b  # r = b − A·0
+                fused_pre = (x, r)
+            else:
+                fused_pre = fused.presmooth_residual_fused(
+                    smoother, L.A, b, pre, omega
+                )
+        if fused_pre is not None:
+            x, r = fused_pre
         else:
-            from openmg_tpu.ops import fused
-
-            fused_pre = fused.presmooth_residual_fused(
-                smoother, L.A, b, pre, omega
-            )
-    if fused_pre is not None:
-        x, r = fused_pre
-    else:
-        x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
-        r = residual(L.A, b, x)
-    bc = restrict(r, hierarchy.transfer)
+            x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
+            r = residual(L.A, b, x)
+        bc = restrict(r, hierarchy.transfer)
     ec = jnp.zeros_like(bc)
     # µ recursive visits; at the level just above the coarsest a second
     # visit would re-run the exact solve on an (near-)unchanged residual,
@@ -101,6 +113,12 @@ def v_cycle(
             gamma,
             x_zero=(v == 0),
         )
+    if post > 0:
+        y = fused.prolong_smooth_fused(
+            smoother, L.A, b, x, ec, post, omega, hierarchy.transfer
+        )
+        if y is not None:
+            return y
     x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
     x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega)
     return x

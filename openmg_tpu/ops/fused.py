@@ -47,6 +47,8 @@ __all__ = [
     "fused_stages_const_3d",
     "smooth_fused",
     "presmooth_residual_fused",
+    "presmooth_restrict_fused",
+    "prolong_smooth_fused",
 ]
 
 # Mosaic scoped-VMEM cap for the fused kernels.  The default 16 MB rejects
@@ -287,9 +289,67 @@ def _corner_fix_residual(
     return r_out
 
 
+# ---------------------------------------------------------------------------
+# in-kernel grid transfers.  Fusing restriction into the pre-smooth+residual
+# kernel (emit the coarse rhs ``bc = R r`` instead of the full-size residual)
+# and prolongation+add into the post-smooth kernel (consume the coarse
+# correction ``ec`` instead of a materialized ``P ec``) removes two full
+# fine-grid HBM round-trips per level per cycle.  The z axis (untiled
+# leading dim) uses slice/reshape decimation/interleave; the y/x axes
+# (sublane/lane dims, where strided slicing forces Mosaic relayouts) use
+# the same small per-axis transfer matrices as ops/transfer.py's MXU path,
+# passed as whole-array VMEM operands and contracted with dot_general —
+# both dots contract dimension 1, which lands the output axes in the right
+# order with no explicit transposes.
+# ---------------------------------------------------------------------------
+
+
+_DOT = dict(
+    precision=jax.lax.Precision.HIGHEST,
+    preferred_element_type=jnp.float32,
+)
+
+
+def _restrict_in_kernel(r, r_taps, My, Mx, depth, tz):
+    """``R r`` for the central coarse rows of the slab: ``r`` is the
+    (E, ny, nx) extended residual (valid to distance ≥ 1, out-of-domain
+    rows zeroed); returns ``(tz/2, ny/2, nx/2)``."""
+    tzc = tz // 2
+    rp = r[depth - 1: depth + tz + 1]  # fine local rows 2I+t, t ∈ {−1,0,1}
+    acc = None
+    for t, w in r_taps:
+        seg = rp[t + 1: t + 1 + tz]
+        seg = seg.reshape(tzc, 2, seg.shape[1], seg.shape[2])[:, 0]
+        term = jnp.float32(w) * seg
+        acc = term if acc is None else acc + term
+    out = jax.lax.dot_general(acc, My, (((1,), (0,)), ((), ())), **_DOT)
+    return jax.lax.dot_general(out, Mx, (((1,), (0,)), ((), ())), **_DOT)
+
+
+def _prolong_in_kernel(ec_ext, p_taps, Py, Px):
+    """``P ec`` over the full extended fine slab: ``ec_ext`` is the
+    (E/2 + 1, nyc, nxc) coarse window (out-of-domain rows zeroed); returns
+    (E, ny, nx)."""
+    e2 = ec_ext.shape[0] - 1
+    parts = []
+    for pm in (0, 1):
+        part = None
+        for t, w in p_taps:
+            if (t - pm) % 2:
+                continue
+            s = (t - pm) // 2  # fine row 2C+pm reads ec[C − s]; s ∈ {−1, 0}
+            seg = ec_ext[-s: -s + e2] if s < 0 else ec_ext[:e2]
+            term = jnp.float32(w) * seg
+            part = term if part is None else part + term
+        parts.append(part)
+    pz = jnp.stack(parts, axis=1).reshape(2 * e2, *ec_ext.shape[1:])
+    out = jax.lax.dot_general(pz, Py, (((1,), (1,)), ((), ())), **_DOT)
+    return jax.lax.dot_general(out, Px, (((1,), (1,)), ((), ())), **_DOT)
+
+
 def _fused_kernel(
     vals_ref, *refs, offsets, stages, emit_residual, has_x,
-    tz, depth, ny, nx, nz, regions,
+    tz, depth, ny, nx, nz, regions, restrict_taps=None, prolong_taps=None,
 ):
     i = pl.program_id(0)
     E = tz + 2 * depth
@@ -299,6 +359,10 @@ def _fused_kernel(
         tbl_ref, refs = refs[0], refs[1:]
     else:
         tbl_ref = None
+    if restrict_taps is not None:
+        (My_ref, Mx_ref), refs = refs[:2], refs[2:]
+    if prolong_taps is not None:
+        (Py_ref, Px_ref), refs = refs[:2], refs[2:]
 
     def ext(rs):
         # rs: [tile, lo_D..lo_1, hi_1..hi_D] → (E, ny, nx)
@@ -307,7 +371,7 @@ def _fused_kernel(
         parts.extend(rs[1 + depth + k][...] for k in range(depth))
         return jnp.concatenate(parts, axis=0)
 
-    out_refs = refs[nb * (2 if has_x else 1):]
+    n_in = nb * (2 if has_x else 1)
     gp = jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1), 0) + (i * tz - depth)
     zvalid = jnp.logical_and(gp >= 0, gp < nz).astype(jnp.float32)
     B = ext(refs[:nb]) * zvalid
@@ -315,6 +379,26 @@ def _fused_kernel(
         X = ext(refs[nb: 2 * nb]) * zvalid
     else:
         X = jnp.zeros((E, ny, nx), B.dtype)
+
+    if prolong_taps is not None:
+        # coarse-correction window: tile (tzc) + dc low + dc+1 high planes
+        dc = depth // 2
+        tzc = tz // 2
+        nbc = 2 * dc + 2
+        ec_refs, refs = refs[n_in: n_in + nbc], refs[:n_in] + refs[n_in + nbc:]
+        parts = [ec_refs[1 + k][...] for k in range(dc)]
+        parts.append(ec_refs[0][...])
+        parts.extend(ec_refs[1 + dc + k][...] for k in range(dc + 1))
+        ec_ext = jnp.concatenate(parts, axis=0)  # (E/2 + 1, nyc, nxc)
+        gpc = jax.lax.broadcasted_iota(
+            jnp.int32, (ec_ext.shape[0], 1, 1), 0
+        ) + (i * tzc - dc)
+        cvalid = jnp.logical_and(gpc >= 0, gpc < (nz + 1) // 2)
+        ec_ext = ec_ext * cvalid.astype(ec_ext.dtype)
+        X = (X + _prolong_in_kernel(ec_ext, prolong_taps, Py_ref[...],
+                                    Px_ref[...])) * zvalid
+
+    out_refs = refs[n_in:]
 
     di = offsets.index((0, 0, 0))
     inv_d = 1.0 / vals_ref[0, di]
@@ -345,12 +429,19 @@ def _fused_kernel(
             r = _corner_fix_residual(
                 tbl_ref, regions, offsets, X, r, B, depth, ny, nx, gp, iy, ix
             )
-        out_refs[1][...] = r[depth: depth + tz]
+        if restrict_taps is not None:
+            bc = _restrict_in_kernel(
+                r * zvalid, restrict_taps, My_ref[...], Mx_ref[...],
+                depth, tz,
+            )
+            out_refs[1][...] = bc
+        else:
+            out_refs[1][...] = r[depth: depth + tz]
 
 
 def fused_stages_const_3d(
     values, offsets, b, x, stages, emit_residual: bool = False, tz=None,
-    corner=None,
+    corner=None, restrict_transfer=None, ec=None, prolong_transfer=None,
 ):
     """Run ``stages`` half-sweeps (and optionally the final residual) for a
     constant 3D stencil in one Pallas pass.  ``x=None`` means a zero
@@ -361,16 +452,28 @@ def fused_stages_const_3d(
     ``corner``: optional ``(regions, (n_regions, K) tap table)`` payload of
     a :class:`~openmg_tpu.ops.stencil.CorneredOperator` — enables the
     in-kernel exact face/edge/corner fix-ups after every stage (and on the
-    emitted residual)."""
+    emitted residual).
+
+    ``restrict_transfer`` (with ``emit_residual``): emit the restricted
+    coarse rhs ``bc = R r`` (shape halved per dim) instead of the fine
+    residual.  ``ec`` + ``prolong_transfer``: start from
+    ``x + P ec`` (coarse-correction prolongation fused in).  Both require
+    even grid dims; depth is padded to even when ``ec`` is present so the
+    coarse window stays parity-aligned."""
     offsets = tuple(tuple(o) for o in offsets)
     stages = tuple((str(k), (float(p) if k == "jacobi" else int(p)))
                    for k, p in stages)
     nz, ny, nx = b.shape
     has_x = x is not None
-    depth = len(stages) + (1 if emit_residual else 0)
+    depth = len(stages) + (2 if restrict_transfer is not None
+                           else 1 if emit_residual else 0)
+    if ec is not None and depth % 2:
+        depth += 1
     n_out = 2 if emit_residual else 1
     regions = tuple(tuple(R) for R in corner[0]) if corner else ()
     min_tz = depth + 1 if regions else 1
+    if restrict_transfer is not None or ec is not None:
+        min_tz = max(min_tz, 2)
     if tz is None:
         tz = _fit_tz(b.shape, depth, has_x, n_out, min_tz=min_tz)
     if tz is None:
@@ -403,6 +506,11 @@ def fused_stages_const_3d(
             + [hi_spec(j) for j in range(1, depth + 1)]
         )
 
+    def whole(a):
+        return pl.BlockSpec(
+            tuple(a.shape), lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+
     in_specs = [
         pl.BlockSpec(
             (1, len(offsets)), lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -417,13 +525,80 @@ def fused_stages_const_3d(
             )
         )
         operands.append(tbl)
+
+    from openmg_tpu.ops.transfer import _axis_matrix
+
+    restrict_taps = None
+    if restrict_transfer is not None:
+        restrict_taps = tuple(restrict_transfer.r_taps)
+        My = jnp.asarray(_axis_matrix(ny, restrict_taps, "float32"))
+        Mx = jnp.asarray(_axis_matrix(nx, restrict_taps, "float32"))
+        in_specs += [whole(My), whole(Mx)]
+        operands += [My, Mx]
+    prolong_taps = None
+    if ec is not None:
+        prolong_taps = tuple(prolong_transfer.p_taps)
+        Py = jnp.asarray(_axis_matrix(ny, prolong_taps, "float32"))
+        Px = jnp.asarray(_axis_matrix(nx, prolong_taps, "float32"))
+        in_specs += [whole(Py), whole(Px)]
+        operands += [Py, Px]
+
     in_specs += specs_for_array()
     operands += [b] * (1 + 2 * depth)
     if has_x:
         in_specs += specs_for_array()
         operands += [x] * (1 + 2 * depth)
+    if ec is not None:
+        # coarse-correction window: tile + dc low planes + dc+1 high planes
+        dc = depth // 2
+        tzc = tz // 2
+        nzc, nyc, nxc = ec.shape
+        ec_tile = pl.BlockSpec(
+            (tzc, nyc, nxc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
 
-    out_shape = jax.ShapeDtypeStruct(b.shape, b.dtype)
+        def ec_lo(j):
+            return pl.BlockSpec(
+                (1, nyc, nxc),
+                lambda i, j=j: (jnp.maximum(i * tzc - j, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def ec_hi(j):
+            return pl.BlockSpec(
+                (1, nyc, nxc),
+                lambda i, j=j: (
+                    jnp.minimum(i * tzc + tzc - 1 + j, nzc - 1), 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs += (
+            [ec_tile]
+            + [ec_lo(j) for j in range(dc, 0, -1)]
+            + [ec_hi(j) for j in range(1, dc + 2)]
+        )
+        operands += [ec] * (2 * dc + 2)
+
+    if restrict_transfer is not None:
+        out_specs = (
+            tile,
+            pl.BlockSpec(
+                (tz // 2, ny // 2, nx // 2),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            jax.ShapeDtypeStruct(
+                (nz // 2, ny // 2, nx // 2), b.dtype
+            ),
+        )
+    else:
+        out_specs = (tile,) * n_out
+        out_shape = (jax.ShapeDtypeStruct(b.shape, b.dtype),) * n_out
+
     kern = functools.partial(
         _fused_kernel,
         offsets=offsets,
@@ -436,6 +611,8 @@ def fused_stages_const_3d(
         nx=nx,
         nz=nz,
         regions=regions,
+        restrict_taps=restrict_taps,
+        prolong_taps=prolong_taps,
     )
     interpret = jax.default_backend() != "tpu"
     extra = (
@@ -451,8 +628,8 @@ def fused_stages_const_3d(
         kern,
         grid=(gz,),
         in_specs=in_specs,
-        out_specs=(tile,) * n_out,
-        out_shape=(out_shape,) * n_out,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **extra,
     )(*operands)
@@ -500,4 +677,79 @@ def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
     return fused_stages_const_3d(
         op.values, op.offsets, b, None, stages, emit_residual=True,
         corner=corner,
+    )
+
+
+def _transfer_fusable(shape, transfer) -> bool:
+    """Can the in-kernel grid transfers run on this level?  Radius-1
+    separable taps; every dim coarsenable; the coarse lane dim must stay a
+    multiple of 128 (Mosaic layout) and the coarse sublane dim ≥ 8."""
+    nz, ny, nx = shape
+    return (
+        transfer is not None
+        and all(abs(t) <= 1 for t, _ in transfer.r_taps)
+        and all(abs(t) <= 1 for t, _ in transfer.p_taps)
+        and nz % 2 == 0
+        and ny % 2 == 0
+        and nx % 256 == 0
+        and ny >= 16
+        and nz >= 4
+    )
+
+
+def presmooth_restrict_fused(
+    name, op, b, x, iterations: int, omega: float, transfer
+):
+    """Pre-smoothing fused with the level residual AND its restriction:
+    returns ``(x, bc)`` where ``bc = R (b − A x)`` is the next level's rhs,
+    or None when unsupported.  ``x=None`` is the zero-start path (reads
+    only ``b``).  Replaces presmooth (3 passes) + residual (3) + restrict
+    (~2.6) with one kernel that never materializes the fine residual."""
+    stages = stages_for(name, iterations, omega)
+    if (
+        stages is None
+        or not stages
+        or not _stencil_ok(op, b)
+        or not _transfer_fusable(b.shape, transfer)
+    ):
+        return None
+    corner = _corner_info(op)
+    depth = len(stages) + 2
+    min_tz = max(2, depth + 1 if corner else 2)
+    if depth > MAX_CHUNK + 1 or _fit_tz(
+        b.shape, depth, x is not None, 2, min_tz=min_tz
+    ) is None:
+        return None
+    return fused_stages_const_3d(
+        op.values, op.offsets, b, x, stages, emit_residual=True,
+        corner=corner, restrict_transfer=transfer,
+    )
+
+
+def prolong_smooth_fused(
+    name, op, b, x, ec, iterations: int, omega: float, transfer
+):
+    """Coarse-correction prolongation + add fused into post-smoothing:
+    returns ``smooth(b, x + P ec)`` without materializing ``P ec``, or
+    None when unsupported (the caller then runs prolong + smooth
+    separately)."""
+    stages = stages_for(name, iterations, omega)
+    if (
+        stages is None
+        or not stages
+        or not _stencil_ok(op, b)
+        or not _transfer_fusable(b.shape, transfer)
+    ):
+        return None
+    corner = _corner_info(op)
+    depth = len(stages)
+    depth += depth % 2  # coarse window parity alignment
+    min_tz = max(2, depth + 1 if corner else 2)
+    if depth > MAX_CHUNK or _fit_tz(
+        b.shape, depth, True, 1, min_tz=min_tz
+    ) is None:
+        return None
+    return fused_stages_const_3d(
+        op.values, op.offsets, b, x, stages,
+        corner=corner, ec=ec, prolong_transfer=transfer,
     )

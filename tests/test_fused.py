@@ -195,3 +195,78 @@ def test_cornered_min_tz_constraint():
     tz = fused._fit_tz(op.grid_shape, len(stages) + 1, False, 2,
                        min_tz=len(stages) + 2)
     assert tz is None or tz >= len(stages) + 2
+
+
+# ---------------------------------------------------------------------------
+# in-kernel grid transfers (restriction-fused pre / prolongation-fused post)
+# ---------------------------------------------------------------------------
+
+
+def _fine_level(shape=(32, 32, 256)):
+    from openmg_tpu import SolverConfig, setup
+
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat"
+    )
+    h = setup(shape, cfg).hierarchy
+    return h.levels[0], h.transfer
+
+
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+@pytest.mark.parametrize("zero_start", [True, False])
+def test_presmooth_restrict_fused(name, zero_start):
+    from openmg_tpu.ops.transfer import restrict
+
+    L, tr = _fine_level()
+    b = rand(L.grid_shape, seed=21)
+    x0 = None if zero_start else rand(L.grid_shape, seed=22)
+    out = fused.presmooth_restrict_fused(name, L.A, b, x0, 2, 2.0 / 3.0, tr)
+    assert out is not None, "restrict fusion should engage on this shape"
+    xs, bc = out
+    x_ref = smooth(
+        name, L.A, L.inv_diag, b,
+        jnp.zeros(L.grid_shape, jnp.float32) if x0 is None else x0,
+        2, 2.0 / 3.0, use_pallas=False,
+    )
+    bc_ref = restrict(b - L.A.apply(x_ref), tr)
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(x_ref), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bc), np.asarray(bc_ref), rtol=0, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+def test_prolong_smooth_fused(name):
+    from openmg_tpu.ops.transfer import prolong
+
+    L, tr = _fine_level()
+    b = rand(L.grid_shape, seed=23)
+    x0 = rand(L.grid_shape, seed=24)
+    ec = rand(tuple(s // 2 for s in L.grid_shape), seed=25)
+    y = fused.prolong_smooth_fused(name, L.A, b, x0, ec, 2, 2.0 / 3.0, tr)
+    assert y is not None, "prolong fusion should engage on this shape"
+    x_ref = smooth(
+        name, L.A, L.inv_diag, b, x0 + prolong(ec, L.grid_shape, tr),
+        2, 2.0 / 3.0, use_pallas=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x_ref), rtol=0, atol=2e-5
+    )
+
+
+def test_transfer_fused_declines_on_unfusable_shapes():
+    L, tr = _fine_level((32, 32, 256))
+    # nx = 128 is below the coarse-lane constraint (nx % 256)
+    b = rand((16, 16, 128), seed=26)
+    from openmg_tpu.ops.stencil import StencilOperator
+
+    op = StencilOperator(None, L.A.offsets, L.A.values, (16, 16, 128))
+    assert fused.presmooth_restrict_fused(
+        "rbgs", op, b, None, 2, 2.0 / 3.0, tr
+    ) is None
+    ec = rand((8, 8, 64), seed=27)
+    assert fused.prolong_smooth_fused(
+        "rbgs", op, b, b, ec, 2, 2.0 / 3.0, tr
+    ) is None
