@@ -245,6 +245,20 @@ def _region_sel(R, gp, iy, ix):
     return sel
 
 
+def _widen_yx(v, ny, nx):
+    """Pre-broadcast a doubly-singleton (E, 1, 1) region row to (E, 1, nx)
+    before handing it to an op whose output is (E, ny, nx): Mosaic has no
+    combined sublane+lane broadcast ("Broadcast in both sublanes and
+    lanes" compile error on the real chip), so the lane dim is widened
+    here with an explicit multiply (robust against MLIR's
+    broadcast-of-broadcast folding), leaving only the sublane dim for the
+    consumer's implicit broadcast."""
+    if v.shape[1] == 1 and ny != 1 and v.shape[2] == 1 and nx != 1:
+        ones = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2) >= 0
+        v = v * ones.astype(v.dtype)
+    return v
+
+
 def _corner_fix_stage(
     tbl_ref, regions, offsets, X_old, X_new, B, kind, p,
     depth, ny, nx, gp, iy, ix,
@@ -275,6 +289,7 @@ def _corner_fix_stage(
             if 2 not in R:
                 par = par + ix
             upd = jnp.where((par & 1) == p, xn, Xo_R)
+        upd = _widen_yx(upd, ny, nx)
         X_new = jnp.where(_region_sel(R, gp, iy, ix), upd, X_new)
     return X_new
 
@@ -285,6 +300,7 @@ def _corner_fix_residual(
     for r, R in enumerate(regions):
         acc = _region_acc(tbl_ref, r, R, offsets, X, depth, ny, nx, False)
         r_R = _region_extract(B, R, depth) - acc
+        r_R = _widen_yx(r_R, ny, nx)
         r_out = jnp.where(_region_sel(R, gp, iy, ix), r_R, r_out)
     return r_out
 

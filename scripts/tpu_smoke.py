@@ -99,6 +99,28 @@ def main():
     )
     ok &= info["converged"]
 
+    # Cornered-level + fused-transfer coverage: (64,128,256) puts the
+    # transfer-fused kernels on the fine level (nx % 256 == 0) and the
+    # corner-corrected fused smoothers on the (32,64,128) Galerkin level
+    # (nx == 128) — the exact compiled path a 256³ production solve runs.
+    # Interpreter-mode CI cannot catch Mosaic lowering failures (e.g. the
+    # sublane+lane broadcast in the corner fix-up), so this solve is the
+    # regression net for them.
+    print("cornered/fused-transfer solve (64,128,256):")
+    cfg2 = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        cycles=60,
+    )
+    solver2 = setup((64, 128, 256), cfg2)
+    b2 = rhs_random((64, 128, 256), seed=3)
+    b2 = b2 / np.linalg.norm(b2.ravel())
+    _, info2 = solver2.solve(jnp.asarray(b2, jnp.float32))
+    print(
+        f"  cycles={info2['cycles']} final={info2['final_norm']:.2e} "
+        f"converged={info2['converged']}"
+    )
+    ok &= bool(info2["converged"])
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
