@@ -56,11 +56,14 @@ __all__ = [
 # v5e accepts 64 MB (verified on-chip: compiles and runs correctly — the
 # physical VMEM is larger than the guide's conservative 16 MB figure).
 _VMEM_LIMIT = 64 * 1024 * 1024
-# Scoped-usage budget for the tz fit model below (pipelined in/out blocks
-# plus ~2 extended-slab intermediates per streamed array, calibrated
-# against on-chip compile successes/failures at 256³ — sweep logs in the
-# round notes).  Keeping a margin under _VMEM_LIMIT absorbs model error.
-_SCOPED_BUDGET = 44 * 1024 * 1024
+# Total-VMEM budget for the tz fit model below (the v5e has 128 MB; the
+# margin absorbs model error plus XLA-side extras).  The model charges
+# double-buffered in/out windows PLUS ~0.9 live E-plane slabs per stencil
+# offset — the same empirical per-offset coefficient as ops/kernels.py,
+# recalibrated against an on-chip OOM of a K=27 cornered level at 128³
+# (depth 5, tz 64: predicted 125 MB scoped vs 114 MB actual, where the
+# K-blind model said 44 MB and the chip ran out of VMEM at 139.5/128 MB).
+_TOTAL_BUDGET = 100 * 1024 * 1024
 # Deepest fusion per kernel: compile time and redundant halo compute grow
 # with depth; ≥6-stage chunks measured diminishing returns at 256³.
 MAX_CHUNK = 6
@@ -75,14 +78,17 @@ def stages_for(name: str, iterations: int, omega: float):
     return None
 
 
-def _fit_tz(shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1):
-    """Largest power-of-two slab height whose estimated scoped-VMEM usage
+def _fit_tz(
+    shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1, k: int = 7
+):
+    """Largest power-of-two slab height whose estimated total-VMEM usage
     fits the calibrated budget, or None.
 
-    Usage model (empirical, see _SCOPED_BUDGET): double-buffered in/out
-    blocks — b as an E=(tz+2·depth)-plane window, x likewise if present,
-    n_out outputs of tz planes — plus ~2 E-plane intermediates each for
-    the extended x and b slabs the stage loop keeps alive.
+    Usage model (empirical, see _TOTAL_BUDGET): double-buffered in/out
+    windows — each streamed input as an E=(tz+2·depth)-plane window, the
+    n_out outputs as tz planes — plus ~0.9 live E-plane slabs per stencil
+    offset for the stage loop's shifted-term intermediates (``k`` = offset
+    count; 27-point Galerkin levels need ~4× the VMEM of 7-point ones).
 
     ``min_tz``: cornered kernels require ``tz ≥ depth + 1`` so global row
     z = 0 appears only in tile 0's extended slab (at static local index
@@ -92,14 +98,17 @@ def _fit_tz(shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1):
         return None
     plane = ny * nx * 4
 
-    def scoped(tz):
-        E = tz + 2 * depth
-        inout = (E * (2 if has_x else 1) + tz * n_out) * plane
-        interm = 2 * E * plane * 2
-        return 2 * inout + interm
-
     def fits(tz):
-        return scoped(tz) <= _SCOPED_BUDGET
+        E = tz + 2 * depth
+        windows = 2 * (E * (2 if has_x else 1) + tz * n_out) * plane
+        scoped = int(0.9 * k * E * plane)
+        # Mosaic separately enforces its scoped-stack cap (_VMEM_LIMIT);
+        # the margin absorbs the model's ±10% calibration error (measured
+        # 71.3 MB actual vs 79 MB predicted at K=27, tz=32, 64 KB planes)
+        return (
+            scoped <= _VMEM_LIMIT - 8 * 1024 * 1024
+            and windows + scoped <= _TOTAL_BUDGET
+        )
 
     if not fits(1):
         return None
@@ -491,7 +500,9 @@ def fused_stages_const_3d(
     if restrict_transfer is not None or ec is not None:
         min_tz = max(min_tz, 2)
     if tz is None:
-        tz = _fit_tz(b.shape, depth, has_x, n_out, min_tz=min_tz)
+        tz = _fit_tz(
+            b.shape, depth, has_x, n_out, min_tz=min_tz, k=len(offsets)
+        )
     if tz is None:
         raise ValueError("fused stages do not fit VMEM for this shape")
     gz = nz // tz
@@ -665,7 +676,9 @@ def smooth_fused(name, op, b, x, iterations: int, omega: float):
     remaining = list(stages)
     max_chunk = 0
     for c in range(min(len(stages), MAX_CHUNK), 1, -1):
-        if _fit_tz(b.shape, c, True, 1, min_tz=min_tz_for(c)) is not None:
+        if _fit_tz(
+            b.shape, c, True, 1, min_tz=min_tz_for(c), k=len(op.offsets)
+        ) is not None:
             max_chunk = c
             break
     if max_chunk < 2:
@@ -688,7 +701,9 @@ def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
     corner = _corner_info(op)
     depth = len(stages) + 1
     min_tz = depth + 1 if corner else 1
-    if depth > MAX_CHUNK or _fit_tz(b.shape, depth, False, 2, min_tz=min_tz) is None:
+    if depth > MAX_CHUNK or _fit_tz(
+        b.shape, depth, False, 2, min_tz=min_tz, k=len(op.offsets)
+    ) is None:
         return None
     return fused_stages_const_3d(
         op.values, op.offsets, b, None, stages, emit_residual=True,
@@ -733,7 +748,7 @@ def presmooth_restrict_fused(
     depth = len(stages) + 2
     min_tz = max(2, depth + 1 if corner else 2)
     if depth > MAX_CHUNK + 1 or _fit_tz(
-        b.shape, depth, x is not None, 2, min_tz=min_tz
+        b.shape, depth, x is not None, 2, min_tz=min_tz, k=len(op.offsets)
     ) is None:
         return None
     return fused_stages_const_3d(
@@ -762,7 +777,7 @@ def prolong_smooth_fused(
     depth += depth % 2  # coarse window parity alignment
     min_tz = max(2, depth + 1 if corner else 2)
     if depth > MAX_CHUNK or _fit_tz(
-        b.shape, depth, True, 1, min_tz=min_tz
+        b.shape, depth, True, 1, min_tz=min_tz, k=len(op.offsets)
     ) is None:
         return None
     return fused_stages_const_3d(

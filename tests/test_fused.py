@@ -76,10 +76,11 @@ def test_smooth_fused_chunking(monkeypatch):
     the slab height drops, exercising the halo clamp/mask paths."""
     op, inv_diag = make_op()
     b, x = rand(seed=6), rand(seed=7)
-    # plane = 4*128*4 B = 2 KiB; the scoped model charges (8E+2tz) planes
-    # for a depth-c has-x kernel (E = tz+2c): 42 planes at (c=2, tz=1),
-    # 58 at c=3 — so a 45-plane budget forces max_chunk=2 with tz=1
-    monkeypatch.setattr(fused, "_SCOPED_BUDGET", 2048 * 45)
+    # plane = 4*128*4 B = 2 KiB; the K-aware fit model charges
+    # 2(2E+tz) window planes + 0.9·7·E scoped planes for a depth-c has-x
+    # kernel (E = tz+2c): ≈54 planes at (c=2, tz=1), ≈66 at (c=2, tz=2),
+    # ≈74 at (c=3, tz=1) — a 60-plane budget forces max_chunk=2 with tz=1
+    monkeypatch.setattr(fused, "_TOTAL_BUDGET", 2048 * 60)
     got = fused.smooth_fused("rbgs", op, b, x, 2, 0.0)
     assert got is not None
     want = rbgs(op, inv_diag, b, x, 2)
