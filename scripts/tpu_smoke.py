@@ -121,6 +121,23 @@ def main():
     )
     ok &= bool(info2["converged"])
 
+    # VMEM-fit coverage at 64 KB planes: the 128³ fine level runs the K=7
+    # fused pre-smooth/residual kernels at the plane size where the
+    # K-blind slab-height model OOM'd the chip's 128 MB VMEM
+    # (ops/fused.py::_fit_tz).  The exact failing config — the K=27
+    # cornered level at (128,128,128) — only occurs inside a 256³ solve,
+    # which bench.py compiles every round; this is the fast proxy.
+    print("K-aware VMEM fit solve (128,128,128):")
+    solver3 = setup((128, 128, 128), cfg2)
+    b3 = rhs_random((128, 128, 128), seed=4)
+    b3 = b3 / np.linalg.norm(b3.ravel())
+    _, info3 = solver3.solve(jnp.asarray(b3, jnp.float32))
+    print(
+        f"  cycles={info3['cycles']} final={info3['final_norm']:.2e} "
+        f"converged={info3['converged']}"
+    )
+    ok &= bool(info3["converged"])
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
