@@ -27,7 +27,7 @@ def build_parser():
     ap.add_argument("--shape", type=int, nargs="+", required=True,
                     help="grid shape, e.g. --shape 256 256 256")
     ap.add_argument("--config", help="SolverConfig JSON file")
-    ap.add_argument("--smoother", choices=["jacobi", "rbgs"])
+    ap.add_argument("--smoother", choices=["jacobi", "rbgs", "chebyshev"])
     ap.add_argument("--transfer", choices=["aggregate", "linear"])
     ap.add_argument("--cycle-type", choices=["v", "w", "f"])
     ap.add_argument("--cycles", type=int)

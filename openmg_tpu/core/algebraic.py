@@ -508,6 +508,12 @@ class AlgebraicSolver:
     per-cycle residual history) on flat vectors."""
 
     def __init__(self, hierarchy: SparseHierarchy, config: SolverConfig):
+        if config.krylov not in (None, "none"):
+            raise ValueError(
+                f"krylov={config.krylov!r} is implemented only by the "
+                "stencil engine (core.solver); the general-sparse engine "
+                "runs pure multigrid (krylov='none')"
+            )
         self.hierarchy = hierarchy
         self.config = config
         self.df = hierarchy.fine_lo is not None

@@ -104,7 +104,12 @@ def _fit_tz(
         scoped = int(0.9 * k * E * plane)
         # Mosaic separately enforces its scoped-stack cap (_VMEM_LIMIT);
         # the margin absorbs the model's ±10% calibration error (measured
-        # 71.3 MB actual vs 79 MB predicted at K=27, tz=32, 64 KB planes)
+        # 71.3 MB actual vs 79 MB predicted at K=27, tz=32, 64 KB planes).
+        # The windows term is deliberately NOT charged against the scoped
+        # cap: Mosaic's scoped accounting excludes the pipelined block
+        # windows — verified on-chip, the admitted 256³ cornered config
+        # (K=27, 64 KB planes) has windows+scoped well above 64 MB yet
+        # compiles and runs (scripts/tpu_smoke.py pins this config).
         return (
             scoped <= _VMEM_LIMIT - 8 * 1024 * 1024
             and windows + scoped <= _TOTAL_BUDGET

@@ -121,12 +121,34 @@ def main():
     )
     ok &= bool(info2["converged"])
 
+    # The exact config that OOM'd the K-blind slab-height model: the K=27
+    # cornered Galerkin level at (128,128,128) (64 KB planes) inside a
+    # 256³ linear-transfer solve.  Structured setup is O(K) so grabbing
+    # that level directly is cheap; this compiles the fused cornered
+    # kernel at the real failing shape without the full 256³ solve.
+    print("K=27 cornered fused kernel at (128,128,128):")
+    from openmg_tpu.ops import fused as _fused
+    from openmg_tpu.ops.smoothers import _smooth_cornered
+    from openmg_tpu.ops.stencil import CorneredOperator
+
+    h27 = setup((256, 256, 256), cfg2).hierarchy
+    op27 = h27.levels[1].A
+    assert isinstance(op27, CorneredOperator) and op27.num_offsets == 27, (
+        "expected the K=27 cornered level"
+    )
+    b27 = jnp.asarray(rhs_random(op27.grid_shape, seed=6), jnp.float32)
+    x27 = jnp.asarray(rhs_random(op27.grid_shape, seed=7), jnp.float32)
+    got27 = _fused.smooth_fused("rbgs", op27, b27, x27, 2, 0.0)
+    assert got27 is not None, "cornered deep fusion should engage at 128³"
+    want27 = _smooth_cornered(
+        "rbgs", op27, b27, x27, 2, 0.0, use_pallas=False
+    )
+    ok &= check("cornered rbgs x2 (K=27)", got27, want27, atol=2e-4)
+
     # VMEM-fit coverage at 64 KB planes: the 128³ fine level runs the K=7
     # fused pre-smooth/residual kernels at the plane size where the
     # K-blind slab-height model OOM'd the chip's 128 MB VMEM
-    # (ops/fused.py::_fit_tz).  The exact failing config — the K=27
-    # cornered level at (128,128,128) — only occurs inside a 256³ solve,
-    # which bench.py compiles every round; this is the fast proxy.
+    # (ops/fused.py::_fit_tz).
     print("K-aware VMEM fit solve (128,128,128):")
     solver3 = setup((128, 128, 128), cfg2)
     b3 = rhs_random((128, 128, 128), seed=4)

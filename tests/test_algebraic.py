@@ -198,3 +198,11 @@ def test_general_vs_stencil_engine_same_trajectory():
     a = np.asarray(info_sten["residual_norms"][:10])
     g = np.asarray(info_gen["residual_norms"][:10])
     assert np.allclose(a, g, rtol=1e-4), (a, g)
+
+
+def test_krylov_rejected_on_general_engine():
+    """SolverConfig(krylov="pcg") is honored only by the stencil engine;
+    the general-sparse engine must reject it loudly, not drop it."""
+    cfg = SolverConfig(krylov="pcg")
+    with pytest.raises(ValueError, match="krylov"):
+        setup_sparse(poisson((16, 16)), (16, 16), cfg)

@@ -194,7 +194,7 @@ def test_cornered_min_tz_constraint():
     # tz ≥ 6 → tz = 8 which divides 16, so it should engage...
     stages = fused.stages_for("rbgs", 2, 0.0)
     tz = fused._fit_tz(op.grid_shape, len(stages) + 1, False, 2,
-                       min_tz=len(stages) + 2)
+                       min_tz=len(stages) + 2, k=len(op.offsets))
     assert tz is None or tz >= len(stages) + 2
 
 
