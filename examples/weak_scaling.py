@@ -30,22 +30,22 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--base", type=int, default=32,
-                    help="axis-0 extent per device (other axes fixed)")
-    ap.add_argument("--ny", type=int, default=32)
-    ap.add_argument("--nz", type=int, default=32)
-    ap.add_argument("--max-devices", type=int, default=8)
-    ap.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
-    args = ap.parse_args()
+def run_weak_scaling(
+    base: int = 32,
+    ny: int = 32,
+    nz: int = 32,
+    max_devices: int = 8,
+    cfg=None,
+    on_record=None,
+):
+    """The harness core (importable — tests/test_parallel.py pins the
+    record schema and the efficiency formula): grow axis 0 with the device
+    count, solve, and return one record per device count.
 
-    import jax
-
-    if args.backend == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.max_devices)
-
+    ``weak_scaling_efficiency`` is per-device smoother throughput relative
+    to the 1-device run — the BASELINE north-star metric
+    (>70% at 512³ on ≥2 hosts).
+    """
     from openmg_tpu import (
         MeshConfig,
         SolverConfig,
@@ -56,16 +56,16 @@ def main():
     from openmg_tpu.models.poisson import rhs_random
 
     initialize_distributed()
-
-    cfg = SolverConfig(
+    cfg = cfg or SolverConfig(
         smoother="rbgs", transfer="linear", gridlevels=3,
         max_dense_coarse=1 << 20, cycles=60,
     )
 
+    records = []
     base_nnz_per_s = None
     n = 1
-    while n <= args.max_devices:
-        shape = (args.base * n, args.ny, args.nz)
+    while n <= max_devices:
+        shape = (base * n, ny, nz)
         solver = (
             setup(shape, cfg)
             if n == 1
@@ -96,9 +96,39 @@ def main():
             "smoother_nnz_per_s_per_device": nnz_per_s_dev,
             "weak_scaling_efficiency": nnz_per_s_dev / base_nnz_per_s,
         }
-        print(json.dumps(rec), flush=True)
-        log(f"n={n} shape={shape} eff={rec['weak_scaling_efficiency']:.2f}")
+        records.append(rec)
+        if on_record is not None:
+            on_record(rec)
         n *= 2
+    return records
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=32,
+                    help="axis-0 extent per device (other axes fixed)")
+    ap.add_argument("--ny", type=int, default=32)
+    ap.add_argument("--nz", type=int, default=32)
+    ap.add_argument("--max-devices", type=int, default=8)
+    ap.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.max_devices)
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+        log(
+            f"n={rec['devices']} shape={tuple(rec['shape'])} "
+            f"eff={rec['weak_scaling_efficiency']:.2f}"
+        )
+
+    run_weak_scaling(
+        args.base, args.ny, args.nz, args.max_devices, on_record=emit
+    )
 
 
 if __name__ == "__main__":

@@ -166,9 +166,18 @@ class MeshConfig:
         exchange carries no dependency from the interior compute (the
         BASELINE T10 overlap); False selects the plain
         exchange-then-compute reference path.
+    mesh_shape: optional (n_hosts, chips_per_host) for a 2-level
+        (DCN, ICI) mesh (SURVEY.md §4.2-3/§5.8): the solver's partition
+        axis spans BOTH mesh axes — collectives take the axis-name tuple
+        and XLA routes neighbor ppermute traffic over ICI within a host
+        and across DCN only at host boundaries.  None → 1D mesh of
+        ``n_devices``.
+    axis_names: mesh axis names used with ``mesh_shape``.
     """
 
     n_devices: Optional[int] = None
     axis_name: str = "x"
     min_rows_per_device: int = 2
     overlap_halo: bool = True
+    mesh_shape: Optional[tuple] = None
+    axis_names: tuple = ("host", "chip")

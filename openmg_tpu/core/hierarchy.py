@@ -416,8 +416,8 @@ def build_hierarchy_structured(
     :class:`~openmg_tpu.ops.stencil.FacedStencilOperator` — the exact same
     operator, but smoothed at constant-stencil speed with O(n²) face
     fix-ups instead of streaming 3^d coefficient grids.  The distributed
-    builder passes ``faced=False`` (its sharded kernels consume plain
-    coefficient arrays).
+    builder uses it too: cornered levels ship as O(K) replicated tables
+    (parallel/fast.py).
     """
     from openmg_tpu.core.structured import expand_rep, expand_rep_np, structured_chain
     from openmg_tpu.ops.stencil import CorneredOperator, FacedStencilOperator

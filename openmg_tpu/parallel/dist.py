@@ -173,19 +173,14 @@ def _restrict_dist(r, transfer, axes, part_here, axis_name, n_dev):
 # ---------------------------------------------------------------------------
 
 
-def _make_op(coeff_data, offsets, const: bool, local_shape):
-    if const:
-        return StencilOperator(None, offsets, coeff_data, tuple(local_shape))
-    return StencilOperator(coeff_data, offsets)
-
-
 def _dist_v_cycle(
-    level_data,  # tuple per level: (coeff_data, inv_diag) — local blocks
+    level_data,  # tuple per level: arrays per `kinds[level]` (local blocks)
     coarse_inv,
     r,
     *,
     offsets_per_level,
-    const_plan,  # per level: constant-stencil storage?
+    kinds,  # per level: "const" | "corner" | "vary" (static)
+    subsets_per_level,  # per level: cornered axis subsets or None (static)
     coarsened_axes,  # per level: axes halved between level and level+1
     plan,
     transfer: Transfer,
@@ -198,31 +193,60 @@ def _dist_v_cycle(
     overlap: bool = True,
     gamma: int = 1,
 ):
+    from openmg_tpu.ops.stencil import CorneredOperator
+    from openmg_tpu.ops.stencil import residual as stencil_residual
+    from openmg_tpu.parallel import fast
+
     num_levels = len(level_data)
 
     def op_at(level, vec_shape):
-        coeff_data, _ = level_data[level]
-        return _make_op(
-            coeff_data, offsets_per_level[level], const_plan[level], vec_shape
-        )
+        data = level_data[level]
+        offsets = offsets_per_level[level]
+        kind = kinds[level]
+        if kind == "const":
+            return StencilOperator(None, offsets, data[0], tuple(vec_shape))
+        if kind == "corner":
+            return CorneredOperator(
+                data[0], data[1], offsets, tuple(vec_shape),
+                subsets_per_level[level],
+            )
+        return StencilOperator(data[0], offsets)
+
+    def inv_diag_at(level):
+        data = level_data[level]
+        kind = kinds[level]
+        if kind == "vary":
+            return data[1]
+        from openmg_tpu.ops.stencil import diag_index
+
+        # constant/cornered interior 1/diag (scalar, free under jit); the
+        # cornered smoothers use exact per-region diagonals internally
+        return 1.0 / data[0][diag_index(offsets_per_level[level])]
 
     def smooth_at(level, b, x, iters):
         if iters <= 0:
             return x
-        _, inv_diag = level_data[level]
         op = op_at(level, x.shape)
         if plan[level]:
+            if kinds[level] in ("const", "corner"):
+                return fast.smooth_part(
+                    smoother, op, b, x, iters, omega, axis_name, n_dev
+                )
             return _smooth_part(
-                smoother, op, inv_diag, b, x, iters, omega, axis_name, n_dev,
-                overlap,
+                smoother, op, inv_diag_at(level), b, x, iters, omega,
+                axis_name, n_dev, overlap,
             )
-        return smooth_plain(smoother, op, inv_diag, b, x, iters, omega)
+        return smooth_plain(
+            smoother, op, inv_diag_at(level), b, x, iters, omega
+        )
 
     def residual_at(level, b, x):
         op = op_at(level, x.shape)
         if plan[level]:
+            if kinds[level] in ("const", "corner"):
+                return fast.residual_part(op, b, x, axis_name, n_dev)
             return b - _apply_dist(op, x, axis_name, n_dev, overlap)
-        return b - op.apply(x)
+        return stencil_residual(op, b, x)
 
     def vc(level, b, x):
         if level == num_levels - 1:
@@ -324,14 +348,68 @@ def _dist_solve_loop(
     threshold,
     res_kwargs,
     cycle_kwargs,
+    fused_terms=None,
+    fine_offsets=None,
 ):
     """Whole-solve loop, per-device body under shard_map: residuals, the
     distributed V-cycle, the convergence check, and the history are all one
     program — no host round-trip per cycle (mirrors core.solver's
     ``_solve_device``; see its docstring for why).  ``k``/``hist``/``done``
     are computed from the psum-replicated norm, hence identical on every
-    device."""
+    device.
+
+    ``fused_terms`` (static, non-None only when the fine operator is a
+    dyadic constant stencil whose local block the fused kernel supports):
+    run the one-HBM-pass ``df_update_residual_const_3d`` kernel per cycle
+    — the double-float update x ← x + e AND the exact-terms residual —
+    then repair the two boundary planes with the exact df epilogue that
+    reads the *updated* halo planes (parallel/fast.py)."""
     hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
+
+    if fused_terms is not None:
+        from openmg_tpu.ops import kernels as _kernels
+        from openmg_tpu.parallel import fast as _fast
+
+        axis_name = res_kwargs["axis_name"]
+        n_dev = res_kwargs["n_dev"]
+        r0, _, rn0 = _dist_residual_df(
+            c_hi, c_lo, b_hi, b_lo, x_hi, x_lo, **res_kwargs
+        )
+        hist0 = hist0.at[0].set(rn0.astype(jnp.float32))
+
+        def fcond(st):
+            _, _, k, _, done = st
+            return jnp.logical_and(jnp.logical_not(done), k < limit)
+
+        def fbody(st):
+            (xh, xl), r, k, hist, _ = st
+            e = _dist_v_cycle(level_data, coarse_inv, r, **cycle_kwargs)
+            xh, xl, r2 = _kernels.df_update_residual_const_3d(
+                fine_offsets, fused_terms, xh, xl, e, b_hi, b_lo
+            )
+            lo_h, up_h = halo_planes(xh, axis_name, n_dev)
+            lo_l, up_l = halo_planes(xl, axis_name, n_dev)
+            first, last = _fast.df_residual_edge_planes(
+                fine_offsets, fused_terms, b_hi, b_lo, xh, xl,
+                lo_h, lo_l, up_h, up_l,
+            )
+            r2 = jnp.concatenate([first, r2[1:-1], last], axis=0)
+            nsq = jnp.sum(r2 * r2)
+            if n_dev > 1:
+                nsq = lax.psum(nsq, axis_name)
+            rn = jnp.sqrt(nsq)
+            k = k + 1
+            hist = hist.at[k].set(rn.astype(jnp.float32))
+            return (xh, xl), r2, k, hist, rn < threshold
+
+        (xh, xl), _, k, hist, done = lax.while_loop(
+            fcond,
+            fbody,
+            ((x_hi, x_lo), r0, jnp.int32(0), hist0, rn0 < threshold),
+        )
+        from openmg_tpu.utils.observe import pack_solve_meta
+
+        return xh, xl, pack_solve_meta(k + 1, hist, done)
 
     def cond_fn(st):
         _, _, k, _, done = st
@@ -389,24 +467,23 @@ class DistributedSolver:
             raise ValueError(
                 "distributed solver requires residual_dtype='doublefloat'"
             )
-        # the sharded kernels consume plain coefficient arrays: materialize
-        # any boundary-corrected (faced) levels (distributed_setup builds
-        # with faced=False and never hits this; direct construction from a
-        # single-device hierarchy does)
+        # Cornered levels distribute natively (O(K) replicated tables —
+        # parallel/fast.py); only the dense-face-plane representation is
+        # materialized to varying arrays (rare: the structured builder
+        # emits cornered, not faced, levels).
         import dataclasses as _dc
 
         from openmg_tpu.ops.stencil import CorneredOperator, FacedStencilOperator
 
         def _devarnish(l):
-            if not isinstance(l.A, (CorneredOperator, FacedStencilOperator)):
+            if not isinstance(l.A, FacedStencilOperator):
                 return l
             A = l.A.to_varying()
             di = A.offsets.index((0,) * l.A.ndim)
             return _dc.replace(l, A=A, inv_diag=1.0 / A.coeff(di))
 
         if any(
-            isinstance(l.A, (CorneredOperator, FacedStencilOperator))
-            for l in hierarchy.levels
+            isinstance(l.A, FacedStencilOperator) for l in hierarchy.levels
         ):
             hierarchy = _dc.replace(
                 hierarchy,
@@ -418,12 +495,28 @@ class DistributedSolver:
                 f"{config.cycle_type!r} (FMG needs per-level rhs "
                 "redistribution; use the single-device solver)"
             )
+        if config.krylov not in (None, "none"):
+            raise ValueError(
+                f"krylov={config.krylov!r} is implemented only by the "
+                "stencil engine (core.solver); the distributed engine "
+                "runs pure multigrid (krylov='none')"
+            )
         self.config = config
         self.mesh_config = mesh_config or MeshConfig()
-        self.mesh = make_mesh(
-            self.mesh_config.n_devices, self.mesh_config.axis_name
-        )
-        self.axis_name = self.mesh_config.axis_name
+        if self.mesh_config.mesh_shape is not None:
+            from openmg_tpu.parallel.mesh import make_mesh_2d
+
+            self.mesh = make_mesh_2d(
+                self.mesh_config.mesh_shape, self.mesh_config.axis_names
+            )
+            # the partition axis spans both mesh axes: collectives take the
+            # axis-name tuple (linearized host-major index)
+            self.axis_name = tuple(self.mesh_config.axis_names)
+        else:
+            self.mesh = make_mesh(
+                self.mesh_config.n_devices, self.mesh_config.axis_name
+            )
+            self.axis_name = self.mesh_config.axis_name
         self.n_dev = self.mesh.devices.size
         shapes = [s[0] for s in hierarchy.stats]
         self.plan = partition_plan(
@@ -437,7 +530,17 @@ class DistributedSolver:
             )
         self.grid_shape = shapes[0]
         self.offsets_per_level = tuple(l.A.offsets for l in hierarchy.levels)
-        self.const_plan = tuple(l.A.is_constant for l in hierarchy.levels)
+
+        def _kind(A):
+            if isinstance(A, CorneredOperator):
+                return "corner"
+            return "const" if A.is_constant else "vary"
+
+        self.kinds = tuple(_kind(l.A) for l in hierarchy.levels)
+        self.subsets_per_level = tuple(
+            l.A.subsets if isinstance(l.A, CorneredOperator) else None
+            for l in hierarchy.levels
+        )
         self.coarsened_axes = tuple(
             tuple(
                 a
@@ -449,8 +552,10 @@ class DistributedSolver:
         self.transfer = hierarchy.transfer
         self.stats = hierarchy.stats
 
-        # shard the hierarchy per the plan (constant-stencil levels carry a
-        # tiny replicated (K,) value vector and a scalar inverse diagonal)
+        # shard the hierarchy per the plan.  Constant levels carry a tiny
+        # replicated (K,) value vector; cornered levels the (K,) values +
+        # (n_subsets, K) delta table — O(K) total, never a materialized
+        # coefficient grid; only varying levels shard real grid arrays.
         def put(arr, partitioned, grid_axis):
             if partitioned:
                 spec = [None] * arr.ndim
@@ -465,16 +570,19 @@ class DistributedSolver:
                 return put(op.values, False, 0)
             return put(op.coeffs, partitioned, 1)
 
-        self.level_data = tuple(
-            (
-                coeff_data(l.A, self.plan[i]),
-                put(
-                    l.inv_diag,
-                    self.plan[i] and not l.A.is_constant,
-                    0,
-                ),
+        def level_payload(i, l):
+            kind = self.kinds[i]
+            if kind == "const":
+                return (put(l.A.values, False, 0),)
+            if kind == "corner":
+                return (put(l.A.values, False, 0), put(l.A.deltas, False, 0))
+            return (
+                put(l.A.coeffs, self.plan[i], 1),
+                put(l.inv_diag, self.plan[i], 0),
             )
-            for i, l in enumerate(hierarchy.levels)
+
+        self.level_data = tuple(
+            level_payload(i, l) for i, l in enumerate(hierarchy.levels)
         )
         self.coarse_inv = put(hierarchy.coarse_inv, False, 0)
         from openmg_tpu.core.solver import exact_residual_terms
@@ -483,6 +591,7 @@ class DistributedSolver:
         self.fine_hi = coeff_data(hierarchy.fine_hi, self.plan[0])
         self.fine_lo = coeff_data(hierarchy.fine_hi_lo, self.plan[0])
         self.fine_const = hierarchy.fine_hi.is_constant
+        self._fine_offsets = hierarchy.fine_hi.offsets
 
         self._build_programs()
 
@@ -497,16 +606,16 @@ class DistributedSolver:
             s[grid_axis] = self.axis_name
             return P(*s)
 
+        def level_spec(i):
+            kind = self.kinds[i]
+            if kind == "const":
+                return (P(),)
+            if kind == "corner":
+                return (P(), P())
+            return (spec(self.plan[i], 1, gd + 1), spec(self.plan[i], 0, gd))
+
         level_specs = tuple(
-            (
-                P()
-                if self.const_plan[i]
-                else spec(self.plan[i], 1, gd + 1),
-                P()
-                if self.const_plan[i]
-                else spec(self.plan[i], 0, gd),
-            )
-            for i in range(len(self.level_data))
+            level_spec(i) for i in range(len(self.level_data))
         )
         vec = spec(self.plan[0], 0, gd)
         return level_specs, vec
@@ -516,10 +625,10 @@ class DistributedSolver:
         level_specs, vec = self._specs()
         mesh = self.mesh
 
-        cycle_impl = functools.partial(
-            _dist_v_cycle,
+        cycle_kwargs = dict(
             offsets_per_level=self.offsets_per_level,
-            const_plan=self.const_plan,
+            kinds=self.kinds,
+            subsets_per_level=self.subsets_per_level,
             coarsened_axes=self.coarsened_axes,
             plan=self.plan,
             transfer=self.transfer,
@@ -532,18 +641,20 @@ class DistributedSolver:
             overlap=self.mesh_config.overlap_halo,
             gamma={"v": 1, "w": 2}[cfg.cycle_type],
         )
+        cycle_impl = functools.partial(_dist_v_cycle, **cycle_kwargs)
         self._cycle = jax.jit(
             jax.shard_map(
                 cycle_impl,
                 mesh=mesh,
                 in_specs=(level_specs, P(), vec),
                 out_specs=vec,
+                check_vma=False,  # Pallas out_shapes carry no vma info
             )
         )
 
         res_impl = functools.partial(
             _dist_residual_df,
-            offsets=self.offsets_per_level[0],
+            offsets=self._fine_offsets,
             axis_name=self.axis_name,
             n_dev=self.n_dev,
             part=self.plan[0],
@@ -564,36 +675,41 @@ class DistributedSolver:
                 mesh=mesh,
                 in_specs=(coef_spec, coef_spec, vec, vec, vec, vec),
                 out_specs=(vec, vec, P()),
+                check_vma=False,
             )
         )
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        # fused outer step: dyadic constant fine stencil whose local block
+        # fits the df_update_residual kernel (mirrors core.solver's
+        # _solve_device fast path, with the boundary-plane df epilogue)
+        from openmg_tpu.ops import kernels as _kernels
+
+        fine_offsets = self._fine_offsets
+        local0 = (
+            self.grid_shape[0] // self.n_dev
+            if self.plan[0]
+            else self.grid_shape[0],
+        ) + tuple(self.grid_shape[1:])
+        use_fused = (
+            self._exact_terms is not None
+            and self.fine_const
+            and _kernels.supports_fused_update(fine_offsets, local0)
+        )
         solve_impl = functools.partial(
             _dist_solve_loop,
             limit=limit,
             threshold=float(cfg.threshold),
             res_kwargs=dict(
-                offsets=self.offsets_per_level[0],
+                offsets=fine_offsets,
                 axis_name=self.axis_name,
                 n_dev=self.n_dev,
                 part=self.plan[0],
                 exact_terms=self._exact_terms,
             ),
-            cycle_kwargs=dict(
-                offsets_per_level=self.offsets_per_level,
-                const_plan=self.const_plan,
-                coarsened_axes=self.coarsened_axes,
-                plan=self.plan,
-                transfer=self.transfer,
-                pre=cfg.pre_iterations,
-                post=cfg.post_iterations,
-                smoother=cfg.smoother,
-                omega=cfg.omega,
-                axis_name=self.axis_name,
-                n_dev=self.n_dev,
-                overlap=self.mesh_config.overlap_halo,
-                gamma={"v": 1, "w": 2}[cfg.cycle_type],
-            ),
+            cycle_kwargs=cycle_kwargs,
+            fused_terms=self._exact_terms if use_fused else None,
+            fine_offsets=fine_offsets if use_fused else None,
         )
         self._solve_loop = jax.jit(
             jax.shard_map(
@@ -610,6 +726,7 @@ class DistributedSolver:
                     vec,
                 ),
                 out_specs=(vec, vec, P()),
+                check_vma=False,
             )
         )
 
@@ -617,19 +734,62 @@ class DistributedSolver:
         _, vec = self._specs()
         return jax.device_put(arr, NamedSharding(self.mesh, vec))
 
+    def _zeros_vec(self, like):
+        """Sharded zeros materialized on device (one tiny dispatch — a
+        host-side ``jnp.zeros`` would ship a full grid through the relay)."""
+        if not hasattr(self, "_zeros_prog"):
+            _, vec = self._specs()
+            self._zeros_prog = jax.jit(
+                jnp.zeros_like,
+                out_shardings=NamedSharding(self.mesh, vec),
+            )
+        return self._zeros_prog(like)
+
+    @staticmethod
+    def _deliver(x_hi, x_lo, device_native, info):
+        """Result delivery mirrors core.solver.Solver._deliver: host-numpy
+        callers get the exact float64 merge; device-native (f32 jax-array)
+        callers get the f32 hi part on device with the full-precision pair
+        in ``info['x_df']`` — no device→host round trip."""
+        if device_native:
+            info["x_df"] = (x_hi, x_lo)
+            return x_hi
+        return df_merge((x_hi, x_lo))
+
     def solve(self, b, x0=None):
         cfg = self.config
         shape = self.grid_shape
-        b_np = np.asarray(b, dtype=np.float64).reshape(shape)
-        x0_np = (
-            np.zeros(shape)
-            if x0 is None
-            else np.asarray(x0, dtype=np.float64).reshape(shape)
-        )
-        b_hi, b_lo = df_split(b_np)
-        b_hi, b_lo = self._put_vec(b_hi), self._put_vec(b_lo)
-        x_hi, x_lo = df_split(x0_np)
-        x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
+
+        # Device-resident inputs stay on device (mirrors core.solver:
+        # H2D of a 256³ array through the remote relay costs ~10× the
+        # whole solve): an f32 jax-array rhs splits exactly as (b, 0)
+        # with the lo part and the zero initial guess materialized by a
+        # tiny jitted program, never transferred from the host.
+        device_native = isinstance(b, jax.Array) and b.dtype == jnp.float32
+        if device_native:
+            b_hi = self._put_vec(b.reshape(shape))
+            b_lo = self._zeros_vec(b_hi)
+            if x0 is None:
+                x_hi, x_lo = self._zeros_vec(b_hi), self._zeros_vec(b_hi)
+            elif isinstance(x0, jax.Array) and x0.dtype == jnp.float32:
+                x_hi = self._put_vec(x0.reshape(shape))
+                x_lo = self._zeros_vec(b_hi)
+            else:
+                x_hi, x_lo = df_split(
+                    np.asarray(x0, dtype=np.float64).reshape(shape)
+                )
+                x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
+        else:
+            b_np = np.asarray(b, dtype=np.float64).reshape(shape)
+            x0_np = (
+                np.zeros(shape)
+                if x0 is None
+                else np.asarray(x0, dtype=np.float64).reshape(shape)
+            )
+            b_hi, b_lo = df_split(b_np)
+            b_hi, b_lo = self._put_vec(b_hi), self._put_vec(b_lo)
+            x_hi, x_lo = df_split(x0_np)
+            x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
 
         # device-side outer loop (one dispatch per solve); host loop below
         # streams verbose per-cycle norms
@@ -650,7 +810,6 @@ class DistributedSolver:
             k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
             n_cycles = max(k_fin - 1, 0)
-            x_out = df_merge((x_hi, x_lo))
             info = {
                 "residual_norms": history,
                 "cycles": n_cycles,
@@ -667,7 +826,7 @@ class DistributedSolver:
                 "outer_loop": "device",
                 "solve_time_s": solve_time,
             }
-            return x_out, info
+            return self._deliver(x_hi, x_lo, device_native, info), info
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
         history, cycle_times = [], []
@@ -692,7 +851,6 @@ class DistributedSolver:
             x_hi.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
 
-        x_out = df_merge((x_hi, x_lo))
         info = {
             "residual_norms": history,
             "cycles": len(history) - 1,
@@ -713,7 +871,7 @@ class DistributedSolver:
             "outer_loop": "host",
             "solve_time_s": time.perf_counter() - t_start,
         }
-        return x_out, info
+        return self._deliver(x_hi, x_lo, device_native, info), info
 
 
 def distributed_setup(
@@ -729,6 +887,8 @@ def distributed_setup(
     config = config or SolverConfig(residual_dtype="doublefloat")
     if config.residual_dtype != "doublefloat":
         config = dataclasses.replace(config, residual_dtype="doublefloat")
-    # faced=False: the distributed kernels shard plain coefficient arrays
-    base = setup(problem, config, faced=False)
+    # faced=True: cornered exact-Galerkin levels distribute natively as
+    # O(K) replicated tables (parallel/fast.py) — same representations,
+    # same kernels as the single-device fast tier
+    base = setup(problem, config, faced=True)
     return DistributedSolver(base.hierarchy, config, mesh_config)

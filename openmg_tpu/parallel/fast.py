@@ -1,0 +1,358 @@
+"""Fast-representation tier for *partitioned* levels (T10 + BASELINE
+weak-scaling north star).
+
+The single-device solver runs constant/cornered stencil levels through the
+Pallas kernel tier (ops/kernels.py, ops/fused.py); this module brings the
+same representations to row-partitioned levels inside ``shard_map``:
+
+* **Kernel reuse, zero new Mosaic code.**  The compiled smoother/residual
+  kernels assume Dirichlet (zero) halos at the z edges of the array they
+  see — exactly the "zero halo" bulk term of the overlapped scheme
+  (parallel/halo.py).  Each half-sweep therefore runs the *unchanged*
+  single-device kernel on the local block and then corrects the two
+  boundary planes with an O(ny·nx) jnp epilogue that consumes the
+  ``ppermute``-received halo planes.  Only the epilogue depends on the
+  collective, so XLA's latency-hiding scheduler can run the permute under
+  the bulk kernel — the BASELINE halo/compute overlap, now on the fast
+  tier.
+* **Cornered levels distribute natively.**  A
+  :class:`~openmg_tpu.ops.stencil.CorneredOperator`'s (values, deltas)
+  tables are O(K) replicated scalars — no 27-coefficient varying arrays
+  are ever materialized or sharded.  Region fix-ups are made halo-aware:
+  regions containing grid axis 0 live only on device 0 (global row 0) and
+  are gated on ``lax.axis_index``; regions on unpartitioned axes span all
+  devices and read their axis-0 neighbors through the halo planes.
+
+Correctness is pinned by tests/test_parallel.py: partitioned solves (8
+fake CPU devices, interpreter-mode Pallas) match single-device solves to
+fp tolerance for cornered linear-transfer hierarchies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from openmg_tpu.ops.smoothers import gershgorin_lambda_max, parity_mask_expr
+from openmg_tpu.ops.stencil import (
+    CorneredOperator,
+    StencilOperator,
+    diag_index,
+    region_rows,
+    region_table,
+    shift,
+    write_region,
+)
+from openmg_tpu.parallel.halo import (
+    _plane_shift,
+    apply_overlapped,
+    halo_planes,
+)
+
+__all__ = ["is_fast_op", "smooth_part", "residual_part", "df_residual_edge_planes"]
+
+
+def is_fast_op(op) -> bool:
+    """Does the partitioned fast tier handle this operator?"""
+    return isinstance(op, CorneredOperator) or (
+        isinstance(op, StencilOperator) and op.is_constant
+    )
+
+
+def _use_kernel(offsets, x) -> bool:
+    from openmg_tpu.ops import kernels
+
+    return x.dtype == jnp.float32 and kernels.supports(offsets, x.shape)
+
+
+def _halo_corrections(values, offsets, lower, upper, dtype):
+    """Boundary-plane halo terms the zero-halo kernel omitted:
+    ``corr_lo = Σ_{o0=−1} c_k·shift_yx(lower, off)`` (row 0) and the
+    symmetric ``corr_hi`` (row local−1).  Constant interior taps are exact
+    here even on cornered levels — every region row is overwritten by the
+    exact fix-up pass afterwards."""
+    corr_lo = None
+    corr_hi = None
+    for k, off in enumerate(offsets):
+        if off[0] == -1:
+            t = values[k] * _plane_shift(lower, off)
+            corr_lo = t if corr_lo is None else corr_lo + t
+        elif off[0] == 1:
+            t = values[k] * _plane_shift(upper, off)
+            corr_hi = t if corr_hi is None else corr_hi + t
+    zeros = jnp.zeros(lower.shape, dtype)
+    return (
+        corr_lo if corr_lo is not None else zeros,
+        corr_hi if corr_hi is not None else zeros,
+    )
+
+
+def _edge_parity_mask(plane_shape, zpar: int, color: int):
+    """Parity mask of a boundary plane: global parity == local parity
+    because the partition plan guarantees an even per-device block."""
+    _, ny, nx = plane_shape
+    iy = lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+    ix = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+    return ((zpar + iy + ix) & 1) == color
+
+
+def _bulk_half_sweep(mode, values, offsets, b, x, omega, color, lower, upper):
+    """One constant-stencil half-sweep (or residual) on the local block,
+    halo-exact: Pallas kernel + boundary-plane epilogue when the kernel
+    tier supports the local shape, else the jnp overlapped path."""
+    di = diag_index(offsets)
+    inv_d = 1.0 / values[di]
+    local = x.shape[0]
+    if not _use_kernel(offsets, x):
+        const = StencilOperator(None, offsets, values, x.shape)
+        if mode == "jacobi":
+            om = jnp.asarray(omega, dtype=x.dtype)
+            ax = apply_overlapped(const, x, lower, upper)
+            return x + om * inv_d * (b - ax)
+        if mode == "rb":
+            off_sum = apply_overlapped(const, x, lower, upper, exclude_diag=True)
+            xn = inv_d * (b - off_sum)
+            red = parity_mask_expr(x.shape)
+            m = red if color == 0 else ~red
+            return jnp.where(m, xn, x)
+        return b - apply_overlapped(const, x, lower, upper)
+
+    from openmg_tpu.ops import kernels
+
+    if mode == "jacobi":
+        xk = kernels.jacobi_const_3d(values, offsets, b, x, 1, omega)
+    elif mode == "rb":
+        xk = kernels.rbgs_half_sweep_const_3d(values, offsets, b, x, color)
+    else:
+        xk = kernels.residual_const_3d(values, offsets, b, x)
+
+    corr_lo, corr_hi = _halo_corrections(values, offsets, lower, upper, x.dtype)
+    if mode == "jacobi":
+        om = jnp.asarray(omega, dtype=x.dtype)
+        first = xk[:1] - om * inv_d * corr_lo
+        last = xk[-1:] - om * inv_d * corr_hi
+    elif mode == "rb":
+        m_lo = _edge_parity_mask(corr_lo.shape, 0, color)
+        m_hi = _edge_parity_mask(corr_hi.shape, (local - 1) & 1, color)
+        first = xk[:1] - jnp.where(m_lo, inv_d * corr_lo, 0.0)
+        last = xk[-1:] - jnp.where(m_hi, inv_d * corr_hi, 0.0)
+    else:
+        first = xk[:1] - corr_lo
+        last = xk[-1:] - corr_hi
+    return jnp.concatenate([first, xk[1:-1], last], axis=0)
+
+
+def _region_apply_dist(
+    op, tbl, r: int, R, x, lower, upper, exclude_diag: bool = False
+):
+    """Halo-aware :func:`openmg_tpu.ops.stencil.region_apply`: the exact
+    ``(A x)`` (or ``(A − D) x``) restricted to the region rows of ``R`` on
+    the local block.  When ``0 ∉ R`` the region spans all devices and its
+    axis-0 neighbor reads come through the halo planes; when ``0 ∈ R`` the
+    result is meaningful on device 0 only (gated by the caller)."""
+    di = diag_index(op.offsets)
+    local = x.shape[0]
+    acc = None
+    for k, off in enumerate(op.offsets):
+        if exclude_diag and k == di:
+            continue
+        if any(off[b] < 0 for b in R):
+            continue  # neighbor at i_b = −1 is outside the domain
+        idx_map = {b: off[b] for b in R}
+        src = region_rows(x, R, index=idx_map)
+        if 0 in R:
+            rest = tuple(0 if b in R else o for b, o in enumerate(off))
+            term = tbl[r, k] * shift(src, rest)
+        else:
+            o0 = off[0]
+            if o0 != 0:
+                lo_r = region_rows(lower, R, index=idx_map)
+                hi_r = region_rows(upper, R, index=idx_map)
+                ext = jnp.concatenate([lo_r, src, hi_r], axis=0)
+                src = lax.slice_in_dim(ext, 1 + o0, 1 + o0 + local, axis=0)
+            rest = tuple(
+                0 if (b in R or b == 0) else o for b, o in enumerate(off)
+            )
+            term = tbl[r, k] * shift(src, rest)
+        acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros(region_rows(x, R).shape, x.dtype)
+    return acc
+
+
+def _cornered_fix_dist(
+    op, tbl, b, x_old, x_new, mode, omega, color, lower, upper,
+    axis_name, n_dev,
+):
+    """Overwrite the face/edge/corner rows of ``x_new`` with the exact
+    cornered update computed from ``x_old`` (single-device semantics:
+    ascending |S| so deeper regions overwrite).  Axis-0 regions exist only
+    on device 0 and are where-gated on the device index."""
+    di = diag_index(op.offsets)
+    idx = lax.axis_index(axis_name) if n_dev > 1 else 0
+    for r, R in enumerate(op.regions):
+        diag = tbl[r, di]
+        b_R = region_rows(b, R)
+        x_R = region_rows(x_old, R)
+        if mode == "jacobi":
+            om = jnp.asarray(omega, dtype=x_R.dtype)
+            upd = x_R + om * (
+                b_R - _region_apply_dist(op, tbl, r, R, x_old, lower, upper)
+            ) / diag
+        elif mode == "rb":
+            xn = (
+                b_R
+                - _region_apply_dist(
+                    op, tbl, r, R, x_old, lower, upper, exclude_diag=True
+                )
+            ) / diag
+            red = parity_mask_expr(x_R.shape)
+            m = red if color == 0 else ~red
+            upd = jnp.where(m, xn, x_R)
+        else:  # residual
+            upd = b_R - _region_apply_dist(op, tbl, r, R, x_old, lower, upper)
+        if 0 in R and n_dev > 1:
+            cur = region_rows(x_new, R)
+            upd = jnp.where(idx == 0, upd, cur)
+        x_new = write_region(x_new, R, upd)
+    return x_new
+
+
+def _cornered_inv_diag_part(op, tbl, shape, dtype, axis_name, n_dev):
+    """Exact 1/diag on the local block of a partitioned cornered level
+    (Chebyshev preconditioner): interior scalar + region overwrites,
+    axis-0 regions gated to device 0."""
+    di = diag_index(op.offsets)
+    idx = lax.axis_index(axis_name) if n_dev > 1 else 0
+    invd = jnp.full(shape, 1.0 / op.values[di], dtype=dtype)
+    for r, R in enumerate(op.regions):
+        block_shape = tuple(1 if b in R else s for b, s in enumerate(shape))
+        block = jnp.broadcast_to((1.0 / tbl[r, di]).astype(dtype), block_shape)
+        if 0 in R and n_dev > 1:
+            block = jnp.where(idx == 0, block, region_rows(invd, R))
+        invd = write_region(invd, R, block)
+    return invd
+
+
+def residual_part(op, b, x, axis_name, n_dev: int):
+    """Halo-exact ``r = b − A x`` on the local block of a partitioned
+    constant/cornered level (Pallas bulk + epilogues)."""
+    cornered = isinstance(op, CorneredOperator)
+    values = op.values
+    offsets = op.offsets
+    lower, upper = halo_planes(x, axis_name, n_dev)
+    r = _bulk_half_sweep(
+        "residual", values, offsets, b, x, 0.0, 0, lower, upper
+    )
+    if cornered:
+        tbl = region_table(op)
+        r = _cornered_fix_dist(
+            op, tbl, b, x, r, "residual", 0.0, 0, lower, upper,
+            axis_name, n_dev,
+        )
+    return r
+
+
+def smooth_part(
+    name: str,
+    op,
+    b,
+    x,
+    iterations: int,
+    omega: float,
+    axis_name,
+    n_dev: int,
+):
+    """Partitioned-level smoothing on the fast representations (constant /
+    cornered).  Per half-sweep: post the halo ppermute, run the zero-halo
+    Pallas bulk, correct the two boundary planes, then (cornered) overwrite
+    region rows exactly — identical math to the single-device smoothers up
+    to summation order."""
+    if iterations <= 0:
+        return x
+    cornered = isinstance(op, CorneredOperator)
+    values = op.values
+    offsets = op.offsets
+    tbl = region_table(op) if cornered else None
+
+    if name == "chebyshev":
+        di = diag_index(offsets)
+        inv_d = 1.0 / values[di]
+        lam = jnp.asarray(gershgorin_lambda_max(op, inv_d), dtype=x.dtype)
+        if cornered:
+            invd = _cornered_inv_diag_part(
+                op, tbl, x.shape, x.dtype, axis_name, n_dev
+            )
+        else:
+            invd = inv_d
+        r = residual_part(op, b, x, axis_name, n_dev)
+        d = (4.0 / 3.0) / lam * invd * r
+        for k in range(1, iterations + 1):
+            x = x + d
+            if k == iterations:
+                break
+            r = residual_part(op, r, d, axis_name, n_dev)  # r ← r − A d
+            d = ((2 * k - 1) / (2 * k + 3)) * d + (
+                (8 * k + 4) / (2 * k + 3)
+            ) / lam * invd * r
+        return x
+
+    if name == "jacobi":
+        sweeps = (("jacobi", 0),)
+    elif name == "rbgs":
+        sweeps = (("rb", 0), ("rb", 1))
+    else:
+        raise ValueError(f"unknown smoother {name!r}")
+
+    for _ in range(iterations):
+        for mode, color in sweeps:
+            lower, upper = halo_planes(x, axis_name, n_dev)
+            xk = _bulk_half_sweep(
+                mode, values, offsets, b, x, omega, color, lower, upper
+            )
+            if cornered:
+                xk = _cornered_fix_dist(
+                    op, tbl, b, x, xk, mode, omega, color, lower, upper,
+                    axis_name, n_dev,
+                )
+            x = xk
+    return x
+
+
+def df_residual_edge_planes(
+    offsets, terms, b_hi, b_lo, x_hi, x_lo, lo_h, lo_l, up_h, up_l
+):
+    """Exact double-float residual on the two boundary planes of the local
+    block (rows 0 and L−1), reading axis-0 neighbors from the *updated*
+    halo planes.  Used to repair the edge planes of the fused
+    ``df_update_residual_const_3d`` kernel output, whose zero-halo
+    assumption only holds in the interior.  Same exact power-of-two-term
+    arithmetic as ``core.solver._residual_norm_df_exact_t``."""
+    from openmg_tpu.ops.doublefloat import df_sub
+
+    local = x_hi.shape[0]
+
+    def one_row(i, halo_h, halo_l, sgn):
+        # sgn = −1: this row's o0 = sgn neighbor is the halo plane
+        acc = (
+            lax.slice_in_dim(b_hi, i, i + 1, axis=0),
+            lax.slice_in_dim(b_lo, i, i + 1, axis=0),
+        )
+        for off, tp in zip(offsets, terms):
+            o0 = off[0]
+            if o0 == sgn:
+                sh = _plane_shift(halo_h, off)
+                sl = _plane_shift(halo_l, off)
+            else:
+                j = i + o0
+                sh = _plane_shift(lax.slice_in_dim(x_hi, j, j + 1, axis=0), off)
+                sl = _plane_shift(lax.slice_in_dim(x_lo, j, j + 1, axis=0), off)
+            for p in tp:
+                pf = jnp.float32(p)
+                acc = df_sub(acc, (pf * sh, pf * sl))
+        return acc[0]
+
+    first = one_row(0, lo_h, lo_l, -1)
+    last = one_row(local - 1, up_h, up_l, 1)
+    return first, last

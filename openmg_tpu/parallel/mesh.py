@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "initialize_distributed",
     "row_sharding",
     "replicated_sharding",
@@ -45,6 +46,27 @@ def make_mesh(n_devices=None, axis_name: str = "x", devices=None) -> Mesh:
         else:
             devices = np.array(all_devices[:n])
     return Mesh(np.asarray(devices).reshape(-1), (axis_name,))
+
+
+def make_mesh_2d(shape, axis_names=("host", "chip"), devices=None) -> Mesh:
+    """2-level ``(n_hosts, chips_per_host)`` mesh — the DCN×ICI layout of
+    SURVEY.md §4.2-3/§5.8.  The solver partitions grid axis 0 across BOTH
+    axes (collectives take the axis-name tuple; ``lax.axis_index`` over the
+    tuple is the linearized host-major device index, verified on the fake
+    8-device mesh), so ring-neighbor halo ppermutes stay on ICI except at
+    the host boundary, which is exactly the contiguous-row-block layout's
+    DCN crossing."""
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    if devices is None:
+        all_devices = jax.devices()
+        if n > len(all_devices):
+            raise ValueError(f"requested {n} devices, have {len(all_devices)}")
+        if n == len(all_devices):
+            devices = mesh_utils.create_device_mesh(shape)
+        else:
+            devices = np.array(all_devices[:n]).reshape(shape)
+    return Mesh(np.asarray(devices).reshape(shape), tuple(axis_names))
 
 
 def initialize_distributed(**kwargs) -> None:

@@ -144,6 +144,14 @@ def test_overlapped_solve_matches_reference_path():
         ((64, 32), "linear", "rbgs"),
         ((32, 16, 16), "linear", "rbgs"),
         ((16, 16), "linear", "jacobi"),
+        # local nx ≥ 128: Pallas kernel + boundary-epilogue path on the
+        # partitioned constant fine level AND the partitioned cornered
+        # Galerkin level, plus the fused df update+residual outer loop
+        # (interpreter-mode Pallas inside shard_map on 8 CPU devices)
+        ((32, 8, 256), "linear", "rbgs"),
+        ((32, 8, 256), "aggregate", "jacobi"),
+        # chebyshev: residual-based fast path on partitioned cornered levels
+        ((32, 16, 16), "linear", "chebyshev"),
     ],
 )
 def test_distributed_matches_single_device(shape, transfer, smoother):
@@ -226,3 +234,126 @@ def test_distributed_device_loop_matches_host_loop():
     np.testing.assert_allclose(
         info_d["residual_norms"], info_h["residual_norms"], rtol=1e-6
     )
+
+
+def test_krylov_rejected_on_distributed_engine():
+    """krylov="pcg" is honored only by the stencil engine; the distributed
+    engine must reject it loudly, not drop it."""
+    cfg = SolverConfig(residual_dtype="doublefloat", krylov="pcg",
+                       gridlevels=2, max_dense_coarse=4096)
+    single = setup((16, 16), cfg)
+    with pytest.raises(ValueError, match="krylov"):
+        DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=4))
+
+
+def test_device_resident_rhs_no_host_roundtrip(monkeypatch):
+    """An f32 jax-array rhs must never be pulled to the host (df_split) —
+    the lo part and zero guess are materialized on device — and the result
+    must match the host-numpy path exactly (same hi trajectory), delivered
+    as a device array with the full pair in info['x_df']."""
+    import openmg_tpu.parallel.dist as dist_mod
+
+    shape = (32, 16)
+    cfg = SolverConfig(transfer="linear", cycles=60, gridlevels=3,
+                       max_dense_coarse=4096)
+    b_np = rhs_random(shape, seed=9)
+    solver = distributed_setup(shape, cfg, MeshConfig(n_devices=4))
+    x_host, info_host = solver.solve(b_np)
+
+    b_dev = jnp.asarray(b_np, dtype=jnp.float32)
+    # f32 rhs == df_split(f64 rhs).hi here only if b is exactly f32;
+    # compare against a host solve of the f32-rounded rhs (run before the
+    # monkeypatch — the host path legitimately calls df_split)
+    x_host32, info_host32 = solver.solve(np.asarray(b_dev, dtype=np.float64))
+    monkeypatch.setattr(
+        dist_mod, "df_split",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("df_split called on the device-native path")),
+    )
+    x_dev, info_dev = solver.solve(b_dev)
+    assert isinstance(x_dev, jax.Array) and x_dev.dtype == jnp.float32
+    assert "x_df" in info_dev
+    assert info_dev["cycles"] == info_host["cycles"]
+    np.testing.assert_allclose(
+        np.asarray(x_dev, dtype=np.float64)
+        + np.asarray(info_dev["x_df"][1], dtype=np.float64),
+        np.asarray(x_host32),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_two_axis_mesh_matches_single_device():
+    """(host, chip) 2-axis mesh (SURVEY.md §4.2-3): the partition axis
+    spans both mesh axes; same shard_map code, same solution as the
+    single-device and 1D-mesh solves."""
+    shape = (32, 16, 16)
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        cycles=60, gridlevels=3, max_dense_coarse=4096, threshold=1e-9,
+    )
+    b = rhs_random(shape, seed=5)
+    single = setup(shape, cfg)
+    x1, info1 = single.solve(b)
+    dist2d = DistributedSolver(
+        single.hierarchy, cfg, MeshConfig(mesh_shape=(2, 4))
+    )
+    assert dist2d.n_dev == 8
+    assert dist2d.mesh.axis_names == ("host", "chip")
+    x2d, info2d = dist2d.solve(b)
+    assert info2d["partition_plan"][0] is True
+    assert info2d["converged"] == info1["converged"]
+    assert abs(info2d["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x2d), np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
+    # and bit-identical to the 1D 8-device mesh (same linearized ring)
+    dist1d = DistributedSolver(
+        single.hierarchy, cfg, MeshConfig(n_devices=8)
+    )
+    x1d, _ = dist1d.solve(b)
+    np.testing.assert_array_equal(np.asarray(x2d), np.asarray(x1d))
+
+
+def test_initialize_distributed_noop_paths():
+    """Bootstrap wrapper: a no-op on single-process environments (no
+    coordinator) and when already initialized — must never raise here."""
+    from openmg_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+    initialize_distributed()  # idempotent
+
+
+def test_weak_scaling_harness_schema():
+    """Pin the weak-scaling harness (BASELINE north-star metric surface):
+    record schema, efficiency formula (per-device throughput relative to
+    1 device, == 1.0 at n=1), and device sequence on the fake mesh."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "examples"))
+    try:
+        from weak_scaling import run_weak_scaling
+    finally:
+        sys.path.pop(0)
+
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", gridlevels=2,
+        max_dense_coarse=1 << 20, cycles=8, threshold=0.0,
+    )
+    recs = run_weak_scaling(base=8, ny=8, nz=8, max_devices=4, cfg=cfg)
+    assert [r["devices"] for r in recs] == [1, 2, 4]
+    keys = {
+        "devices", "shape", "fine_nnz", "cycles", "converged", "solve_s",
+        "smoother_nnz_per_s_per_device", "weak_scaling_efficiency",
+    }
+    for r in recs:
+        assert keys <= set(r), r
+        assert r["shape"] == [8 * r["devices"], 8, 8]
+        assert r["solve_s"] > 0 and r["smoother_nnz_per_s_per_device"] > 0
+        # efficiency formula: per-device nnz/s relative to the n=1 run
+        np.testing.assert_allclose(
+            r["weak_scaling_efficiency"],
+            r["smoother_nnz_per_s_per_device"]
+            / recs[0]["smoother_nnz_per_s_per_device"],
+        )
+    assert recs[0]["weak_scaling_efficiency"] == 1.0
