@@ -33,23 +33,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_stream_bandwidth(n_bytes=2 << 30):
-    """Measured HBM copy bandwidth (read+write) for roofline context."""
+def measure_stream_bandwidth(n_bytes=2 << 30, iters=20):
+    """Measured HBM copy bandwidth (read+write) for roofline context.
+
+    The whole multiply chain runs as ONE jitted ``fori_loop`` program —
+    per-dispatch relay overhead (~2.4 ms) amortizes over ``iters``
+    loop-carried full-array passes instead of polluting every rep (the
+    old per-call loop under-reported a v5e's ~819 GB/s HBM as ~370 GB/s).
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     n = n_bytes // 8  # f32 in + out
     x = jnp.ones((n,), dtype=jnp.float32)
-    f = jax.jit(lambda v: v * 1.0000001)
-    float(jnp.sum(f(x)))  # compile + real sync (see _sync note below)
-    reps = 10
+
+    @jax.jit
+    def chain(v):
+        return lax.fori_loop(0, iters, lambda i, a: a * 1.0000001, v)
+
+    float(jnp.sum(chain(x)))  # compile + real sync (see _sync note below)
+    reps = 3
     t0 = time.perf_counter()
     y = x
     for _ in range(reps):
-        y = f(y)
+        y = chain(y)
     float(jnp.sum(y))  # force a host readback: block_until_ready() does
     # not reliably block through the remote TPU relay (measured "5 TB/s")
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / (reps * iters)
     return 2 * n * 4 / dt  # read + write bytes per second
 
 
@@ -107,6 +118,73 @@ def main():
     dt = (time.perf_counter() - t0) / (reps * sweeps)
     nnz_per_s = nnz / dt
     log(f"jacobi sweep: {dt * 1e3:.3f} ms, nnz={nnz}, {nnz_per_s:.3e} nnz/s")
+
+    # --- supporting: 2D sweep throughput (BASELINE config 2 family) ------
+    # 256² itself is overhead-dominated (0.5 MB); 512² is the largest the
+    # lifted (1, ny, nx) kernel can hold as a single VMEM plane — larger
+    # 2D grids fall back to jnp (kernels.supports documents the limit)
+    shape2 = (512, 512) if on_tpu else (256, 256)
+    cfg2 = SolverConfig(smoother="rbgs", transfer="linear")
+    solver2 = setup(shape2, cfg2)
+    L2 = solver2.hierarchy.levels[0]
+    nnz2 = solver2.hierarchy.stats[0][2]
+    b2 = jnp.asarray(rhs_random(shape2, seed=3), dtype=jnp.float32)
+    x2 = jnp.zeros_like(b2)
+    smoother2_fn = jax.jit(
+        lambda A, inv_d, bb, xx: smooth(
+            "jacobi", A, inv_d, bb, xx, sweeps, 2.0 / 3.0
+        )
+    )
+    float(jnp.sum(smoother2_fn(L2.A, L2.inv_diag, b2, x2)))
+    t0 = time.perf_counter()
+    x2o = x2
+    for _ in range(reps_2d := 3):
+        x2o = smoother2_fn(L2.A, L2.inv_diag, b2, x2o)
+    float(jnp.sum(x2o))
+    dt2 = (time.perf_counter() - t0) / (reps_2d * sweeps)
+    log(
+        f"jacobi sweep 2D {shape2}: {dt2 * 1e3:.3f} ms, nnz={nnz2}, "
+        f"{nnz2 / dt2:.3e} nnz/s"
+    )
+
+    # --- supporting: general-sparse ELL engine throughput ----------------
+    # the banded Pallas ELL SpMV (ops/ell.py) on the same 3D Poisson
+    # operator in its general-sparse representation — the nnz/s the
+    # general engine sustains next to the stencil number above
+    try:
+        from openmg_tpu.models.poisson import poisson_ell_device
+        from openmg_tpu.ops import ell as ell_mod
+
+        M_ell = poisson_ell_device(shape)
+        x_ell = jnp.zeros((M_ell.shape[0],), dtype=jnp.float32)
+        bb = jnp.asarray(
+            rhs_random((M_ell.shape[0],), seed=5), dtype=jnp.float32
+        )
+        ell_used = ell_mod.supports(M_ell)
+
+        @jax.jit
+        def ell_sweeps(Mv, vv):
+            from openmg_tpu.ops.sparse import spmv as _spmv
+
+            y = vv
+            for _ in range(10):
+                y = bb - _spmv(Mv, y) * jnp.float32(1.0 / 6.0)
+            return y
+
+        float(jnp.sum(ell_sweeps(M_ell, x_ell)))  # compile + sync
+        t0 = time.perf_counter()
+        y_ell = x_ell
+        for _ in range(3):
+            y_ell = ell_sweeps(M_ell, y_ell)
+        float(jnp.sum(y_ell))
+        dt_ell = (time.perf_counter() - t0) / 30
+        log(
+            f"ell spmv ({'pallas' if ell_used else 'jnp'}): "
+            f"{dt_ell * 1e3:.3f} ms, nnz={M_ell.nnz}, "
+            f"{M_ell.nnz / dt_ell:.3e} nnz/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"ell benchmark failed: {e}")
 
     # --- supporting metrics ---------------------------------------------
     try:

@@ -132,6 +132,65 @@ def poisson_stencil_device(shape, dtype=None):
     return offsets, jnp.stack(ks)
 
 
+def poisson_ell_device(shape, dtype=None):
+    """Device-side synthesis of the Poisson operator straight into the
+    slot-major ELL container (:class:`openmg_tpu.ops.sparse.ELLMatrix`) —
+    benchmark/smoke path for the general-sparse kernel tier at sizes where
+    host scipy assembly is prohibitive (at 256³ the CSR is ~1.4 GB of
+    ~20 MB/s host work + relay upload; the device builds it in ms).
+
+    Slot order matches CSR column order (offsets ascending), pad slots
+    carry ``data == 0`` at column 0 — identical conventions to
+    ``ell_from_scipy(poisson(shape))`` (pinned by tests at small sizes).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openmg_tpu.ops.sparse import ELLMatrix
+
+    dtype = dtype or jnp.float32
+    shape = tuple(int(s) for s in shape)
+    d = len(shape)
+    n = int(np.prod(shape))
+    strides = [int(np.prod(shape[a + 1 :])) for a in range(d)]
+    # (axis, dir) slots sorted by signed offset, diagonal in the middle
+    offs = sorted(
+        [(-strides[a], a) for a in range(d)]
+        + [(0, -1)]
+        + [(strides[a], a) for a in range(d)]
+    )
+
+    @jax.jit
+    def build():
+        r = jnp.arange(n, dtype=jnp.int32)
+        datas, colss = [], []
+        for off, a in offs:
+            if a < 0:
+                datas.append(jnp.full((n,), 2.0 * d, dtype=dtype))
+                colss.append(r)
+                continue
+            c_a = (r // strides[a]) % shape[a]
+            exists = (c_a + (1 if off > 0 else -1) >= 0) & (
+                c_a + (1 if off > 0 else -1) < shape[a]
+            )
+            datas.append(jnp.where(exists, jnp.asarray(-1.0, dtype), 0.0))
+            colss.append(jnp.where(exists, r + off, 0))
+        return jnp.stack(datas), jnp.stack(colss)
+
+    data, cols = build()
+    # true nnz: diagonal + per axis two off-diagonals minus boundary rows
+    nnz = n + sum(2 * n * (shape[a] - 1) // shape[a] for a in range(d))
+    return ELLMatrix(
+        data=data,
+        cols=cols,
+        shape=(n, n),
+        nnz=int(nnz),
+        bandwidth=strides[0] if d else 0,
+        # fixed offset slots by construction — the Pallas DIA fast path
+        slot_offsets=tuple(off for off, _ in offs),
+    )
+
+
 def stencil_to_csr(offsets, coeffs) -> sp.csr_matrix:
     """Materialize a stencil operator as scipy CSR (for oracles/tests)."""
     coeffs = np.asarray(coeffs)

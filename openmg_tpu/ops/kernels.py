@@ -76,12 +76,24 @@ def _pick_tz(shape, k: int = 7) -> int:
     return tz
 
 
+def _lift2d(offsets):
+    """2D offsets → 3D with a zero leading (z) component: 2D grids run the
+    3D kernels on a (1, ny, nx) view (BASELINE config 2, 256² RB-GS)."""
+    return tuple((0,) + tuple(o) for o in offsets)
+
+
 def supports(offsets, shape) -> bool:
-    """Can the Pallas fast path run this operator/grid?"""
+    """Can the Pallas fast path run this operator/grid?  2D grids are
+    supported by lifting to (1, ny, nx) — the kernels' z masking is exact
+    for a single plane (both z edges are domain edges)."""
+    if len(shape) == 2:
+        if any(len(off) != 2 for off in offsets):
+            return False
+        return supports(_lift2d(offsets), (1,) + tuple(shape))
     if len(shape) != 3:
         return False
     nz, ny, nx = shape
-    if nz < 2 or ny < 2 or nx < 128 or nx % 128:
+    if nz < 1 or ny < 2 or nx < 128 or nx % 128:
         return False
     if any(abs(o) > 1 for off in offsets for o in off):
         return False
@@ -225,7 +237,11 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
 
 
 def residual_const_3d(values, offsets, b, x):
-    """Fused residual ``r = b − A x`` (R5) for a 3D constant stencil."""
+    """Fused residual ``r = b − A x`` (R5) for a 2D/3D constant stencil."""
+    if x.ndim == 2:
+        return residual_const_3d(
+            values, _lift2d(offsets), b[None], x[None]
+        )[0]
     offsets = tuple(tuple(o) for o in offsets)
     return _half_sweep(
         values, b, x, offsets=offsets, mode="residual", omega=0.0, color=0
@@ -233,7 +249,11 @@ def residual_const_3d(values, offsets, b, x):
 
 
 def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):
-    """Fused weighted-Jacobi sweeps (T3) for a 3D constant stencil."""
+    """Fused weighted-Jacobi sweeps (T3) for a 2D/3D constant stencil."""
+    if x.ndim == 2:
+        return jacobi_const_3d(
+            values, _lift2d(offsets), b[None], x[None], iterations, omega
+        )[0]
     offsets = tuple(tuple(o) for o in offsets)
     for _ in range(iterations):
         x = _half_sweep(
@@ -243,7 +263,12 @@ def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):
 
 
 def rbgs_const_3d(values, offsets, b, x, iterations: int):
-    """Fused red–black Gauss–Seidel sweeps (T4) for a 3D constant stencil."""
+    """Fused red–black Gauss–Seidel sweeps (T4) for a 2D/3D constant
+    stencil."""
+    if x.ndim == 2:
+        return rbgs_const_3d(
+            values, _lift2d(offsets), b[None], x[None], iterations
+        )[0]
     offsets = tuple(tuple(o) for o in offsets)
     for _ in range(iterations):
         for color in (0, 1):
@@ -257,6 +282,10 @@ def rbgs_const_3d(values, offsets, b, x, iterations: int):
 def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
     """One single-color RB-GS half-sweep (used by the faced-operator path,
     which fixes boundary rows between half-sweeps)."""
+    if x.ndim == 2:
+        return rbgs_half_sweep_const_3d(
+            values, _lift2d(offsets), b[None], x[None], color
+        )[0]
     offsets = tuple(tuple(o) for o in offsets)
     return _half_sweep(
         values, b, x, offsets=offsets, mode="rbgs", omega=0.0, color=color
@@ -271,11 +300,16 @@ def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
 def supports_fused_update(offsets, shape) -> bool:
     """Fit check for :func:`df_update_residual_const_3d` — it streams 8
     tile buffers + 6 halo planes (vs the smoothers' 3+2), so the slab
-    height and plane size limits are tighter."""
+    height and plane size limits are tighter.  2D grids lift to
+    (1, ny, nx) like :func:`supports`."""
+    if len(shape) == 2:
+        if any(len(off) != 2 for off in offsets):
+            return False
+        return supports_fused_update(_lift2d(offsets), (1,) + tuple(shape))
     if len(shape) != 3:
         return False
     nz, ny, nx = shape
-    if nz < 2 or ny < 2 or nx < 128 or nx % 128:
+    if nz < 1 or ny < 2 or nx < 128 or nx % 128:
         return False
     if any(abs(o) > 1 for off in offsets for o in off):
         return False
@@ -357,6 +391,12 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
     decomposition of tap k (products exact, only compensated adds on the
     VPU — see ops.doublefloat.pow2_terms).
     """
+    if x_hi.ndim == 2:
+        xh, xl, r = df_update_residual_const_3d(
+            _lift2d(offsets), terms, x_hi[None], x_lo[None], e[None],
+            b_hi[None], b_lo[None],
+        )
+        return xh[0], xl[0], r[0]
     offsets = tuple(tuple(o) for o in offsets)
     nz, ny, nx = x_hi.shape
     tz = _pick_tz_fused(x_hi.shape)

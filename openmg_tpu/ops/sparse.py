@@ -99,24 +99,35 @@ class CSRMatrix:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("data", "cols"),
-    meta_fields=("shape", "nnz"),
+    meta_fields=("shape", "nnz", "bandwidth", "slot_offsets"),
 )
 @dataclasses.dataclass(frozen=True)
 class ELLMatrix:
-    """ELLPACK: ``k`` (padded max-nnz-per-row) entries per row.
+    """ELLPACK in slot-major ("ELLPACK-T") layout: ``k`` (padded
+    max-nnz-per-row) entries per row, stored as ``(k, nrows)`` planes.
 
-    ``data[i, j]`` pairs with column ``cols[i, j]``; pad slots carry
-    ``data == 0`` at column 0.
+    ``data[j, i]`` pairs with column ``cols[j, i]``; pad slots carry
+    ``data == 0`` at column 0.  Slot-major puts the length-``n`` row
+    dimension in TPU lanes (128-aligned, contiguous HBM streams per slot)
+    — the layout both XLA and the Pallas banded kernel
+    (:mod:`openmg_tpu.ops.ell`) want; row-major ``(n, k)`` would put the
+    tiny ``k`` in lanes and waste ~16× VMEM tile padding.
     """
 
-    data: jax.Array  # (nrows, k)
-    cols: jax.Array  # (nrows, k) int32
+    data: jax.Array  # (k, nrows)
+    cols: jax.Array  # (k, nrows) int32
     shape: tuple
     nnz: int
+    bandwidth: int = 0  # max |col − row| over true entries (static)
+    # per-slot constant column delta when every slot is offset-regular
+    # (``col == row + slot_offsets[j]`` wherever data != 0) — the static
+    # structure the Pallas DIA fast path (ops/ell.py) keys on; None for
+    # irregular matrices (jnp gather path).
+    slot_offsets: tuple | None = None
 
     @property
     def k(self) -> int:
-        return int(self.data.shape[1])
+        return int(self.data.shape[0])
 
     @property
     def dtype(self):
@@ -234,7 +245,15 @@ def csr_from_scipy(A, pad_nnz_to: int = 8, dtype=np.float32) -> CSRMatrix:
 
 def ell_from_scipy(A, k: int | None = None, dtype=np.float32) -> ELLMatrix:
     """scipy sparse → :class:`ELLMatrix`; ``k`` defaults to the true
-    max-nnz-per-row (pass a larger ``k`` to align budgets across levels)."""
+    max-nnz-per-row (pass a larger ``k`` to align budgets across levels).
+
+    Diagonal-structured matrices (few distinct ``col − row`` deltas —
+    the Poisson family, banded systems) are packed **slot-per-offset**
+    so every slot is offset-regular and the Pallas DIA fast path
+    (:mod:`openmg_tpu.ops.ell`) engages; irregular matrices use compact
+    per-row packing (jnp gather path).  Both are valid ELL — pads carry
+    ``data == 0`` — and every consumer treats them identically.
+    """
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
@@ -242,21 +261,56 @@ def ell_from_scipy(A, k: int | None = None, dtype=np.float32) -> ELLMatrix:
     n, m = A.shape
     counts = np.diff(A.indptr)
     k_true = int(counts.max()) if n else 0
+    rows_of = np.repeat(np.arange(n), counts)
+    bw = int(np.abs(A.indices - rows_of).max()) if A.nnz else 0
+
+    # offset-aligned packing when the diagonal count fits the budget
+    if n == m and A.nnz:
+        deltas = np.unique(A.indices.astype(np.int64) - rows_of)
+        k_dia = len(deltas)
+        k_budget = k if k is not None else max(k_true, 1)
+        if k_dia <= max(k_budget, k_true):
+            kk = max(k_budget, k_dia, 1)
+            data = np.zeros((kk, n), dtype=dtype)
+            cols = np.zeros((kk, n), dtype=np.int32)
+            offsets = [0] * kk
+            Ad = sp.dia_matrix(A)
+            diag_of = {int(d): Ad.data[i] for i, d in enumerate(Ad.offsets)}
+            for j, d in enumerate(int(dd) for dd in deltas):
+                # dia_matrix stores diagonal d at data[d:] (cols indexed)
+                band = diag_of[d]
+                r0, r1 = max(0, -d), min(n, n - d)
+                rr = np.arange(r0, r1)
+                data[j, rr] = band[rr + d]
+                cols[j, rr] = rr + d
+                offsets[j] = d
+            return ELLMatrix(
+                data=jnp.asarray(data),
+                cols=jnp.asarray(cols),
+                shape=(int(n), int(m)),
+                nnz=int(A.nnz),
+                bandwidth=bw,
+                slot_offsets=tuple(offsets),
+            )
+
     k = max(k if k is not None else k_true, 1)
     if k < k_true:
         raise ValueError(f"k={k} < max nnz/row {k_true}")
-    data = np.zeros((n, k), dtype=dtype)
-    cols = np.zeros((n, k), dtype=np.int32)
+    data = np.zeros((k, n), dtype=dtype)
+    cols = np.zeros((k, n), dtype=np.int32)
     # slot index of each entry within its row
     slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
-    rows = np.repeat(np.arange(n), counts)
-    data[rows, slot] = A.data
-    cols[rows, slot] = A.indices
+    data[slot, rows_of] = A.data
+    cols[slot, rows_of] = A.indices
+    from openmg_tpu.ops.ell import detect_slot_offsets
+
     return ELLMatrix(
         data=jnp.asarray(data),
         cols=jnp.asarray(cols),
         shape=(int(n), int(m)),
         nnz=int(A.nnz),
+        bandwidth=bw,
+        slot_offsets=detect_slot_offsets(data, cols) if n == m else None,
     )
 
 
@@ -319,8 +373,8 @@ def to_scipy(M):
         vals = np.asarray(M.data)[: M.nnz]
         return sp.coo_matrix((vals, (rows, cols)), shape=M.shape).tocsr()
     if isinstance(M, ELLMatrix):
-        n, k = M.data.shape
-        rows = np.repeat(np.arange(n), k)
+        k, n = M.data.shape
+        rows = np.tile(np.arange(n), k)
         cols = np.asarray(M.cols).ravel()
         vals = np.asarray(M.data).ravel()
         keep = vals != 0
@@ -357,7 +411,11 @@ def spmv(M, x: jax.Array) -> jax.Array:
     Pad entries contribute exactly 0 (zero data at valid coordinates).
     """
     if isinstance(M, ELLMatrix):
-        return jnp.sum(M.data * x[M.cols], axis=1)
+        from openmg_tpu.ops import ell as _ell
+
+        if _ell.supports(M) and x.dtype == jnp.float32:
+            return _ell.spmv_ell(M, x)
+        return jnp.sum(M.data * x[M.cols], axis=0)
     if isinstance(M, CSRMatrix):
         prod = M.data * x[M.indices]
         return jax.ops.segment_sum(
@@ -388,9 +446,9 @@ def spmv_df(M_hi, M_lo, x_hi, x_lo):
         raise TypeError("spmv_df requires ELL residual operators")
     acc = None
     for j in range(M_hi.k):
-        c = M_hi.cols[:, j]
+        c = M_hi.cols[j]
         term = df_mul(
-            (M_hi.data[:, j], M_lo.data[:, j]), (x_hi[c], x_lo[c])
+            (M_hi.data[j], M_lo.data[j]), (x_hi[c], x_lo[c])
         )
         acc = term if acc is None else df_add(acc, term)
     return acc
@@ -400,8 +458,8 @@ def diagonal(M) -> jax.Array:
     """Main diagonal of a (square) container, computed on device."""
     n = M.shape[0]
     if isinstance(M, ELLMatrix):
-        rows = jnp.arange(n, dtype=M.cols.dtype)[:, None]
-        return jnp.sum(jnp.where(M.cols == rows, M.data, 0.0), axis=1)
+        rows = jnp.arange(n, dtype=M.cols.dtype)[None, :]
+        return jnp.sum(jnp.where(M.cols == rows, M.data, 0.0), axis=0)
     if isinstance(M, CSRMatrix):
         hit = jnp.where(M.indices == M.row_ids, M.data, 0.0)
         return jax.ops.segment_sum(

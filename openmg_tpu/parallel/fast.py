@@ -89,12 +89,14 @@ def _halo_corrections(values, offsets, lower, upper, dtype):
 
 
 def _edge_parity_mask(plane_shape, zpar: int, color: int):
-    """Parity mask of a boundary plane: global parity == local parity
-    because the partition plan guarantees an even per-device block."""
-    _, ny, nx = plane_shape
-    iy = lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
-    ix = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
-    return ((zpar + iy + ix) & 1) == color
+    """Parity mask of a boundary plane (any grid ndim): global parity ==
+    local parity because the partition plan guarantees an even per-device
+    block; ``zpar`` is the parity of the boundary row's local axis-0
+    index."""
+    acc = jnp.int32(zpar)
+    for a in range(1, len(plane_shape)):
+        acc = acc + lax.broadcasted_iota(jnp.int32, plane_shape, a)
+    return (acc & 1) == color
 
 
 def _bulk_half_sweep(mode, values, offsets, b, x, omega, color, lower, upper):

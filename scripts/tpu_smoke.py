@@ -71,6 +71,25 @@ def main():
         kernels.residual_const_3d(vals, offsets, b, x),
         b - apply(op, x),
     )
+    # 2D lifted kernels (BASELINE config 2: 256² RB-GS on 1 chip)
+    shape2 = (256, 256)
+    off2 = poisson_offsets(2)
+    vals2 = jnp.asarray([4.0] + [-1.0] * 4, dtype=jnp.float32)
+    op2 = StencilOperator(None, off2, vals2, shape2)
+    b2d = jnp.asarray(rhs_random(shape2, seed=8), jnp.float32)
+    x2d = jnp.asarray(rhs_random(shape2, seed=9), jnp.float32)
+    assert kernels.supports(off2, shape2), "2D 256² should be supported"
+    ok &= check(
+        "rbgs 2D 256² x2",
+        kernels.rbgs_const_3d(vals2, off2, b2d, x2d, 2),
+        rbgs(op2, jnp.float32(0.25), b2d, x2d, 2),
+    )
+    ok &= check(
+        "residual 2D 256²",
+        kernels.residual_const_3d(vals2, off2, b2d, x2d),
+        b2d - apply(op2, x2d),
+    )
+
     if kernels.supports_fused_update(offsets, shape):
         terms = tuple(pow2_terms(float(v)) for v in np.asarray(vals))
         rng = np.random.default_rng(7)
@@ -159,6 +178,36 @@ def main():
         f"converged={info3['converged']}"
     )
     ok &= bool(info3["converged"])
+
+    # Banded Pallas ELL SpMV at the true 256³ Poisson configuration
+    # (TR = 65536 row tiles, K = 7 — the largest VMEM fit): the general-
+    # sparse kernel tier's compile check.  The ELL is synthesized on
+    # device (host scipy at 256³ would be ~1.4 GB of slow host work).
+    print("ELL SpMV (256³ Poisson, on-device):")
+    from openmg_tpu.models.poisson import poisson_ell_device
+    from openmg_tpu.ops import ell as ell_mod
+
+    M = poisson_ell_device((256, 256, 256))
+    assert ell_mod.supports(M), (M.bandwidth, M.k)
+    xr = jax.random.normal(
+        jax.random.PRNGKey(5), (M.shape[0],), dtype=jnp.float32
+    )
+    got_ell = ell_mod.spmv_ell(M, xr)
+    want_ell = jnp.sum(M.data * xr[M.cols], axis=0)
+    # compare norms + a slice (full 16.7M-point D2H just for a smoke
+    # check is ~1 s of relay traffic; the slice pins elementwise values)
+    ok &= check(
+        "ell spmv (slice)",
+        got_ell[: 1 << 16],
+        want_ell[: 1 << 16],
+        atol=1e-4,
+    )
+    ok &= check(
+        "ell spmv (norm)",
+        jnp.sqrt(jnp.sum(got_ell * got_ell)),
+        jnp.sqrt(jnp.sum(want_ell * want_ell)),
+        atol=1e-2,
+    )
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

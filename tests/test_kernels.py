@@ -144,3 +144,81 @@ def test_fused_device_loop_matches_host_loop_3d():
         rtol=1e-4,
         atol=1e-14,
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D grids (BASELINE config 2: 256² RB-GS) — lifted to (1, ny, nx)
+# ---------------------------------------------------------------------------
+
+SHAPES_2D = [(8, 128), (16, 256), (256, 256)]
+
+
+def _const_op_2d(shape):
+    offsets = poisson_offsets(2)
+    vals = jnp.asarray([4.0] + [-1.0] * 4, dtype=jnp.float32)
+    return StencilOperator(None, offsets, vals, shape)
+
+
+def test_supports_2d():
+    offsets = poisson_offsets(2)
+    assert kernels.supports(offsets, (256, 256))
+    assert kernels.supports(offsets, (8, 128))
+    assert not kernels.supports(offsets, (8, 100))  # lanes not 128-mult
+    assert not kernels.supports(poisson_offsets(3), (8, 128))  # 3D offsets
+    assert kernels.supports_fused_update(offsets, (256, 256))
+
+
+@pytest.mark.parametrize("shape", SHAPES_2D)
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+def test_2d_kernels_match_jnp(shape, name):
+    op = _const_op_2d(shape)
+    inv_d = jnp.float32(1.0 / 4.0)
+    b = jnp.asarray(rhs_random(shape, seed=4), jnp.float32)
+    x = jnp.asarray(rhs_random(shape, seed=5), jnp.float32)
+    if name == "jacobi":
+        got = kernels.jacobi_const_3d(op.values, op.offsets, b, x, 2, 2 / 3)
+        want = jacobi(op, inv_d, b, x, 2, 2 / 3)
+    else:
+        got = kernels.rbgs_const_3d(op.values, op.offsets, b, x, 2)
+        want = rbgs(op, inv_d, b, x, 2)
+    assert got.shape == shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
+    )
+
+
+@pytest.mark.parametrize("shape", SHAPES_2D)
+def test_2d_residual_kernel_matches_jnp(shape):
+    from openmg_tpu.ops.stencil import apply
+
+    op = _const_op_2d(shape)
+    b = jnp.asarray(rhs_random(shape, seed=6), jnp.float32)
+    x = jnp.asarray(rhs_random(shape, seed=7), jnp.float32)
+    got = kernels.residual_const_3d(op.values, op.offsets, b, x)
+    want = b - apply(op, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_2d_df_update_residual_kernel():
+    from openmg_tpu.ops.doublefloat import df_add_f32, df_split, pow2_terms
+    from openmg_tpu.core.solver import _residual_norm_df_exact_t
+
+    shape = (64, 128)
+    offsets = poisson_offsets(2)
+    vals = [4.0] + [-1.0] * 4
+    terms = tuple(pow2_terms(v) for v in vals)
+    rng = np.random.default_rng(11)
+    b_df = df_split(rng.standard_normal(shape))
+    x_df = df_split(rng.standard_normal(shape))
+    e = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    xh, xl, r = kernels.df_update_residual_const_3d(
+        offsets, terms, x_df[0], x_df[1], e, b_df[0], b_df[1]
+    )
+    x2 = df_add_f32(x_df, e)
+    r2, _ = _residual_norm_df_exact_t(offsets, terms, b_df, x2)
+    np.testing.assert_array_equal(np.asarray(xh), np.asarray(x2[0]))
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(r2[0]), rtol=0, atol=1e-5
+    )

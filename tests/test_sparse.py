@@ -120,3 +120,132 @@ def test_bsr_requires_divisible():
     A = random_sparse(30, 30, 0.2, seed=12)
     with pytest.raises(ValueError):
         bsr_from_scipy(A, blocksize=(4, 4))
+
+
+def test_ell_pallas_kernel_matches_jnp():
+    """The slot-offset (DIA) Pallas ELL SpMV (ops/ell.py, interpreter
+    mode here) == the jnp gather path, including pad slots, boundary
+    truncations, and edge tiles."""
+    import jax.numpy as jnp
+    from openmg_tpu.models.poisson import poisson
+    from openmg_tpu.ops import ell as ell_mod
+
+    A = poisson((8, 8, 16))  # n=1024, offsets ±1, ±16, ±128
+    M = ell_from_scipy(A)
+    assert M.slot_offsets is not None
+    assert ell_mod.supports(M), (M.slot_offsets, M.k)
+    x = jnp.asarray(
+        np.random.default_rng(22).standard_normal(M.shape[0]), jnp.float32
+    )
+    got = ell_mod.spmv_ell(M, x)
+    want = jnp.sum(M.data * x[M.cols], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), A @ np.asarray(x, dtype=np.float64),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_ell_multi_tile_kernel():
+    """Several grid tiles + offsets crossing tile boundaries (sublane
+    carry + lane roll paths of the flat-shift kernel)."""
+    import jax.numpy as jnp
+    from openmg_tpu.models.poisson import poisson
+    from openmg_tpu.ops import ell as ell_mod
+
+    A = poisson((4, 16, 64))  # n=4096, offsets ±1, ±64, ±1024
+    M = ell_from_scipy(A)
+    assert ell_mod.supports(M)
+    tr = ell_mod.pick_tile_rows(M.shape[0], M.k, M.slot_offsets)
+    assert M.shape[0] // tr >= 2, "want a multi-tile grid"
+    x = jnp.asarray(
+        np.random.default_rng(25).standard_normal(M.shape[0]), jnp.float32
+    )
+    got = ell_mod.spmv_ell(M, x)
+    np.testing.assert_allclose(
+        np.asarray(got), A @ np.asarray(x, dtype=np.float64),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_ell_poisson_3d_structured_bandwidth():
+    """3D Poisson ELL: bandwidth = ny·nx (the z-neighbor), fixed offset
+    slots — the structure the on-chip smoke test compiles at 256³."""
+    from openmg_tpu.models.poisson import poisson
+    from openmg_tpu.ops import ell as ell_mod
+    import jax.numpy as jnp
+
+    shape = (8, 16, 16)   # n = 2048, bandwidth 256
+    A = poisson(shape)
+    M = ell_from_scipy(A)
+    assert M.bandwidth == 16 * 16
+    assert M.slot_offsets is not None and 256 in M.slot_offsets
+    tr = ell_mod.pick_tile_rows(M.shape[0], M.k, M.slot_offsets)
+    assert tr is not None and M.shape[0] % tr == 0
+    x = jnp.asarray(
+        np.random.default_rng(23).standard_normal(M.shape[0]), jnp.float32
+    )
+    got = ell_mod.spmv_ell(M, x)
+    np.testing.assert_allclose(
+        np.asarray(got), A @ np.asarray(x, dtype=np.float64),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_ell_irregular_fallback():
+    """Matrices without slot-regular offsets (or with unaligned n) must
+    fall back to the jnp gather path and still compute correctly."""
+    import jax.numpy as jnp
+    from openmg_tpu.ops import ell as ell_mod
+
+    # random sparsity: many distinct deltas -> compact packing, no offsets
+    n = 256
+    A = random_sparse(n, n, 0.05, seed=24) + 4 * sp.identity(n)
+    M = ell_from_scipy(A)
+    assert M.slot_offsets is None
+    assert not ell_mod.supports(M)
+    x = np.random.default_rng(24).standard_normal(n)
+    got = spmv(M, jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), A @ x, rtol=1e-4, atol=1e-4)
+
+    # offset-regular but n not 128-aligned -> kernel declines, jnp path
+    n = 200
+    A = sp.diags([np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="csr")
+    M = ell_from_scipy(A)
+    assert M.slot_offsets == (-1, 0, 1)
+    assert not ell_mod.supports(M)
+    got = spmv(M, jnp.asarray(x[:n], jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got), A @ x[:n], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_poisson_ell_device_matches_scipy():
+    """Device-synthesized Poisson ELL represents the same operator as
+    ell_from_scipy(poisson(shape)) (slot packing differs: fixed offset
+    slots with interspersed pads vs scipy's compact per-row packing —
+    both valid ELL; pads are data==0 so every consumer treats them
+    identically)."""
+    from openmg_tpu.models.poisson import poisson, poisson_ell_device
+    import jax.numpy as jnp
+
+    for shape in [(8, 8, 8), (16, 8), (32,)]:
+        M_dev = poisson_ell_device(shape)
+        M_ref = ell_from_scipy(poisson(shape))
+        assert M_dev.bandwidth == M_ref.bandwidth
+        assert M_dev.nnz == M_ref.nnz
+        # operator equality through the round-trip
+        diff = (to_scipy(M_dev) - poisson(shape)).tocoo()
+        assert diff.nnz == 0 or np.abs(diff.data).max() == 0.0
+        # SpMV parity between both packings (jnp and Pallas paths)
+        x = jnp.asarray(
+            np.random.default_rng(31).standard_normal(M_dev.shape[0]),
+            jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(spmv(M_dev, x)), np.asarray(spmv(M_ref, x)),
+            rtol=1e-6, atol=1e-6,
+        )
