@@ -79,7 +79,8 @@ def stages_for(name: str, iterations: int, omega: float):
 
 
 def _fit_tz(
-    shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1, k: int = 7
+    shape, depth: int, has_x: bool, n_out: int, min_tz: int = 1, k: int = 7,
+    fudge: float = 1.0,
 ):
     """Largest power-of-two slab height whose estimated total-VMEM usage
     fits the calibrated budget, or None.
@@ -110,9 +111,13 @@ def _fit_tz(
         # windows — verified on-chip, the admitted 256³ cornered config
         # (K=27, 64 KB planes) has windows+scoped well above 64 MB yet
         # compiles and runs (scripts/tpu_smoke.py pins this config).
+        # ``fudge`` scales the estimate for configurations the base model
+        # under-counts: the has_x + in-kernel-restriction variant (only
+        # FMG's fine-level visits hit it) measured 134.27 MB actual vs
+        # 88 MB predicted at 256³/depth-6/tz=16 — a 1.55× shortfall.
         return (
-            scoped <= _VMEM_LIMIT - 8 * 1024 * 1024
-            and windows + scoped <= _TOTAL_BUDGET
+            fudge * scoped <= _VMEM_LIMIT - 8 * 1024 * 1024
+            and fudge * (windows + scoped) <= _TOTAL_BUDGET
         )
 
     if not fits(1):
@@ -506,7 +511,12 @@ def fused_stages_const_3d(
         min_tz = max(min_tz, 2)
     if tz is None:
         tz = _fit_tz(
-            b.shape, depth, has_x, n_out, min_tz=min_tz, k=len(offsets)
+            b.shape, depth, has_x, n_out, min_tz=min_tz, k=len(offsets),
+            fudge=(
+                1.55
+                if has_x and restrict_transfer is not None
+                else 1.0
+            ),
         )
     if tz is None:
         raise ValueError("fused stages do not fit VMEM for this shape")
@@ -753,7 +763,8 @@ def presmooth_restrict_fused(
     depth = len(stages) + 2
     min_tz = max(2, depth + 1 if corner else 2)
     if depth > MAX_CHUNK + 1 or _fit_tz(
-        b.shape, depth, x is not None, 2, min_tz=min_tz, k=len(op.offsets)
+        b.shape, depth, x is not None, 2, min_tz=min_tz, k=len(op.offsets),
+        fudge=1.55 if x is not None else 1.0,
     ) is None:
         return None
     return fused_stages_const_3d(

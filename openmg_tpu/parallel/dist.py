@@ -192,6 +192,7 @@ def _dist_v_cycle(
     n_dev,
     overlap: bool = True,
     gamma: int = 1,
+    fmg: bool = False,
 ):
     from openmg_tpu.ops.stencil import CorneredOperator
     from openmg_tpu.ops.stencil import residual as stencil_residual
@@ -248,22 +249,19 @@ def _dist_v_cycle(
             return b - _apply_dist(op, x, axis_name, n_dev, overlap)
         return stencil_residual(op, b, x)
 
-    def vc(level, b, x):
-        if level == num_levels - 1:
-            xc = (coarse_inv @ b.reshape(-1)).reshape(b.shape)
-            return xc
-        x = smooth_at(level, b, x, pre)
-        rr = residual_at(level, b, x)
+    def restrict_at(level, rr):
+        """Level → level+1 restriction including the redistribution
+        all_gather at a partitioned→replicated transition (T11)."""
         axes = coarsened_axes[level]
         bc = _restrict_dist(rr, transfer, axes, plan[level], axis_name, n_dev)
         if plan[level] and not plan[level + 1]:
-            # redistribution: gather the (still locally-blocked) coarse rhs
             bc = lax.all_gather(bc, axis_name, axis=0, tiled=True)
-        ec = jnp.zeros_like(bc)
-        visits = 1 if level == num_levels - 2 else gamma
-        for _ in range(visits):
-            ec = vc(level + 1, bc, ec)
-        # prolongation back up
+        return bc
+
+    def prolong_at(level, ec):
+        """Level+1 → level prolongation (halo taps between partitioned
+        levels; full prolong + local re-slice off a replicated level)."""
+        axes = coarsened_axes[level]
         if plan[level]:
             if plan[level + 1]:
                 up = ec
@@ -285,11 +283,39 @@ def _dist_v_cycle(
             up = ec
             for a in reversed(axes):
                 up = _prolong_axis(up, a, transfer.p_taps)
-        x = x + up
+        return up
+
+    def vc(level, b, x):
+        if level == num_levels - 1:
+            xc = (coarse_inv @ b.reshape(-1)).reshape(b.shape)
+            return xc
+        x = smooth_at(level, b, x, pre)
+        rr = residual_at(level, b, x)
+        bc = restrict_at(level, rr)
+        ec = jnp.zeros_like(bc)
+        visits = 1 if level == num_levels - 2 else gamma
+        for _ in range(visits):
+            ec = vc(level + 1, bc, ec)
+        x = x + prolong_at(level, ec)
         x = smooth_at(level, b, x, post)
         return x
 
-    return vc(0, r, jnp.zeros_like(r))
+    if not fmg:
+        return vc(0, r, jnp.zeros_like(r))
+
+    # Full multigrid (distributed): restrict the rhs to every level with
+    # the same halo-tap/redistribution transfers the V-cycle uses, solve
+    # the (replicated) coarsest exactly, then prolongate upward with one
+    # µ-cycle per level — the per-level rhs redistribution that was
+    # rejected in earlier rounds is exactly restrict_at.
+    bs = [r]
+    for level in range(num_levels - 1):
+        bs.append(restrict_at(level, bs[-1]))
+    x = (coarse_inv @ bs[-1].reshape(-1)).reshape(bs[-1].shape)
+    for level in range(num_levels - 2, -1, -1):
+        x = prolong_at(level, x)
+        x = vc(level, bs[level], x)
+    return x
 
 
 def _dist_residual_df(
@@ -455,6 +481,16 @@ class DistributedSolver:
 
     Only the ``doublefloat`` residual mode is offered on the distributed
     path (it is the TPU-native one; see core/solver.py).
+
+    Scope limits (validated at construction):
+
+    * **Halo width 1**: every partitioned level's operator must have
+      axis-0 offsets in {−1, 0, +1} (true of the whole Poisson/Galerkin
+      family this framework builds — radius-1 fine stencils stay radius-1
+      under the radius-1 transfers).  Wider operators would need
+      multi-plane halos, which the exchange layer does not implement.
+    * The general-sparse engine (ELL/CSR/BSR, :mod:`core.algebraic`) is
+      single-device only; distribute stencil-form problems.
     """
 
     def __init__(
@@ -489,11 +525,9 @@ class DistributedSolver:
                 hierarchy,
                 levels=tuple(_devarnish(l) for l in hierarchy.levels),
             )
-        if config.cycle_type not in ("v", "w"):
+        if config.cycle_type not in ("v", "w", "f"):
             raise ValueError(
-                f"distributed solver supports cycle_type 'v'|'w', got "
-                f"{config.cycle_type!r} (FMG needs per-level rhs "
-                "redistribution; use the single-device solver)"
+                f"unknown cycle_type {config.cycle_type!r}; choose v|w|f"
             )
         if config.krylov not in (None, "none"):
             raise ValueError(
@@ -530,6 +564,14 @@ class DistributedSolver:
             )
         self.grid_shape = shapes[0]
         self.offsets_per_level = tuple(l.A.offsets for l in hierarchy.levels)
+        for i, offs in enumerate(self.offsets_per_level):
+            if self.plan[i] and any(abs(o[0]) > 1 for o in offs):
+                raise ValueError(
+                    f"level {i} operator reaches {max(abs(o[0]) for o in offs)} "
+                    "rows across the partition boundary; the distributed "
+                    "halo exchange supports radius-1 (one plane each way) "
+                    "only — coarsen differently or solve single-device"
+                )
 
         def _kind(A):
             if isinstance(A, CorneredOperator):
@@ -639,7 +681,8 @@ class DistributedSolver:
             axis_name=self.axis_name,
             n_dev=self.n_dev,
             overlap=self.mesh_config.overlap_halo,
-            gamma={"v": 1, "w": 2}[cfg.cycle_type],
+            gamma={"v": 1, "w": 2, "f": 1}[cfg.cycle_type],
+            fmg=cfg.cycle_type == "f",
         )
         cycle_impl = functools.partial(_dist_v_cycle, **cycle_kwargs)
         self._cycle = jax.jit(

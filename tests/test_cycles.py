@@ -104,7 +104,10 @@ def test_distributed_w_cycle_matches_single_device():
     )
 
 
-def test_distributed_rejects_fmg():
+def test_distributed_fmg_supported():
+    """FMG distributes (round 3): the per-level rhs restriction rides the
+    same halo-tap/redistribution transfers as the V-cycle; a bad
+    cycle_type still raises."""
     import jax
 
     if len(jax.devices()) < 2:
@@ -112,9 +115,19 @@ def test_distributed_rejects_fmg():
     from openmg_tpu.core.config import MeshConfig
     from openmg_tpu.parallel.dist import distributed_setup
 
-    cfg = SolverConfig(cycle_type="f", gridlevels=2, max_dense_coarse=4096)
+    cfg = SolverConfig(cycle_type="f", gridlevels=2, max_dense_coarse=4096,
+                       cycles=40)
+    solver = distributed_setup((16, 16), cfg, MeshConfig(n_devices=2))
+    from openmg_tpu.models.poisson import rhs_random
+
+    x, info = solver.solve(rhs_random((16, 16), seed=3))
+    assert info["converged"]
     with pytest.raises(ValueError, match="cycle_type"):
-        distributed_setup((16, 16), cfg, MeshConfig(n_devices=2))
+        distributed_setup(
+            (16, 16),
+            SolverConfig(cycle_type="q", gridlevels=2, max_dense_coarse=4096),
+            MeshConfig(n_devices=2),
+        )
 
 
 class TestChebyshev:

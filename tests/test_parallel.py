@@ -357,3 +357,46 @@ def test_weak_scaling_harness_schema():
             / recs[0]["smoother_nnz_per_s_per_device"],
         )
     assert recs[0]["weak_scaling_efficiency"] == 1.0
+
+
+def test_distributed_fmg_matches_single_device():
+    """Distributed FMG (per-level rhs restriction with halo taps +
+    redistribution all_gather) == single-device FMG."""
+    shape = (32, 16, 16)
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        cycle_type="f", cycles=40, gridlevels=3, max_dense_coarse=4096,
+        threshold=1e-9,
+    )
+    b = rhs_random(shape, seed=6)
+    single = setup(shape, cfg)
+    x1, info1 = single.solve(b)
+    dist = DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
+    x8, info8 = dist.solve(b)
+    assert info8["converged"] == info1["converged"]
+    assert abs(info8["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x8), np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_distributed_rejects_wide_halo():
+    """Operators reaching more than one row across the partition boundary
+    (axis-0 offset radius > 1) must be rejected at construction — the
+    halo exchange is one plane each way."""
+    import numpy as np
+    from openmg_tpu.models.poisson import poisson_stencil
+
+    shape = (32, 16)
+    offsets, coeffs = poisson_stencil(shape, dtype=np.float64)
+    # add a radius-2 axis-0 coupling
+    ext = np.zeros((2,) + shape)
+    ext[0, :-2, :] = -0.1  # (+2, 0) neighbor
+    ext[1, 2:, :] = -0.1   # (−2, 0) neighbor
+    offsets = tuple(offsets) + ((2, 0), (-2, 0))
+    coeffs = np.concatenate([coeffs, ext])
+    cfg = SolverConfig(residual_dtype="doublefloat", gridlevels=2,
+                       max_dense_coarse=4096)
+    single = setup((offsets, coeffs), cfg)
+    with pytest.raises(ValueError, match="radius-1"):
+        DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
