@@ -728,8 +728,10 @@ def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
 
 def _transfer_fusable(shape, transfer) -> bool:
     """Can the in-kernel grid transfers run on this level?  Radius-1
-    separable taps; every dim coarsenable; the coarse lane dim must stay a
-    multiple of 128 (Mosaic layout) and the coarse sublane dim ≥ 8."""
+    separable taps; every dim coarsenable; the coarse lane dim must be a
+    multiple of 128 OR the full (block == array) lane extent — Mosaic's
+    block rule — so nx = 128 levels (coarse nx = 64 full-dim blocks)
+    fuse too; the coarse sublane dim ≥ 8."""
     nz, ny, nx = shape
     return (
         transfer is not None
@@ -737,7 +739,7 @@ def _transfer_fusable(shape, transfer) -> bool:
         and all(abs(t) <= 1 for t, _ in transfer.p_taps)
         and nz % 2 == 0
         and ny % 2 == 0
-        and nx % 256 == 0
+        and nx % 128 == 0
         and ny >= 16
         and nz >= 4
     )

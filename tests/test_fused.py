@@ -257,17 +257,37 @@ def test_prolong_smooth_fused(name):
     )
 
 
-def test_transfer_fused_declines_on_unfusable_shapes():
-    L, tr = _fine_level((32, 32, 256))
-    # nx = 128 is below the coarse-lane constraint (nx % 256)
-    b = rand((16, 16, 128), seed=26)
-    from openmg_tpu.ops.stencil import StencilOperator
+def test_transfer_fused_nx128_levels():
+    """nx = 128 levels fuse their transfers too (coarse nx = 64 rides
+    full-dim Mosaic blocks — round 3 relaxation); parity vs the unfused
+    path, and genuinely unfusable shapes still decline."""
+    from openmg_tpu.ops.smoothers import smooth
+    from openmg_tpu.ops.stencil import StencilOperator, residual as exact_residual
+    from openmg_tpu.ops.transfer import prolong, restrict
 
+    L, tr = _fine_level((32, 32, 256))
+    b = rand((16, 16, 128), seed=26)
     op = StencilOperator(None, L.A.offsets, L.A.values, (16, 16, 128))
-    assert fused.presmooth_restrict_fused(
-        "rbgs", op, b, None, 2, 2.0 / 3.0, tr
-    ) is None
+    inv_d = 1.0 / op.values[0]
+    out = fused.presmooth_restrict_fused("rbgs", op, b, None, 2, 2.0 / 3.0, tr)
+    assert out is not None, "nx=128 restrict fusion should engage"
+    xs, bc = out
+    x_ref = smooth("rbgs", op, inv_d, b, jnp.zeros_like(b), 2, 2.0 / 3.0,
+                   use_pallas=False)
+    bc_ref = restrict(exact_residual(op, b, x_ref), tr)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x_ref), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bc), np.asarray(bc_ref), rtol=0, atol=2e-5)
+
     ec = rand((8, 8, 64), seed=27)
-    assert fused.prolong_smooth_fused(
-        "rbgs", op, b, b, ec, 2, 2.0 / 3.0, tr
+    y = fused.prolong_smooth_fused("rbgs", op, b, xs, ec, 2, 2.0 / 3.0, tr)
+    assert y is not None, "nx=128 prolong fusion should engage"
+    y_ref = smooth("rbgs", op, inv_d, b, xs + prolong(ec, op.grid_shape, tr),
+                   2, 2.0 / 3.0, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=0, atol=2e-5)
+
+    # odd trailing dim: still unfusable
+    op_odd = StencilOperator(None, L.A.offsets, L.A.values, (16, 16, 96))
+    b_odd = rand((16, 16, 96), seed=28)
+    assert fused.presmooth_restrict_fused(
+        "rbgs", op_odd, b_odd, None, 2, 2.0 / 3.0, tr
     ) is None
