@@ -212,6 +212,49 @@ def main():
         f"solve_time={info['solve_time_s'] * 1e3:.1f}ms"
     )
 
+    # Device-side solve time, separated from this environment's relay
+    # sync latency (profiler-measured: the jitted while-loop ran 38 ms
+    # while the synced wall time was ~63-72 ms — the difference is
+    # dispatch + D2H sync through the remote TPU relay, not device work).
+    # Chaining N solves and syncing once amortizes the constant: the
+    # slope (tN − t1)/(N − 1) is the pure device+queue time per solve.
+    try:
+        from openmg_tpu.core.solver import _solve_device
+
+        h = solver.hierarchy
+        dev_kwargs = dict(
+            limit=cfg.cycles if cfg.cycles > 0 else 10_000,
+            threshold=float(cfg.threshold),
+            pre=cfg.pre_iterations,
+            post=cfg.post_iterations,
+            smoother=cfg.smoother,
+            cycle_type=cfg.cycle_type,
+            krylov=cfg.krylov,
+            krylov_iters=cfg.krylov_iters,
+            omega=cfg.omega,
+            cycle_dtype=jnp.dtype(jnp.float32),
+            df=True,
+            exact_terms=solver._exact_terms,
+        )
+
+        def run_n(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                xp, meta = _solve_device(h, (b_dev, None), None, **dev_kwargs)
+            float(jnp.sum(xp[0]))  # one sync at the end
+            return time.perf_counter() - t0
+
+        run_n(1)  # warm (cache-hit: same program the solve above compiled)
+        t1 = min(run_n(1) for _ in range(2))
+        tn = min(run_n(4) for _ in range(2))
+        dev_ms = (tn - t1) / 3 * 1e3
+        log(
+            f"solve device-time: {dev_ms:.1f} ms/solve "
+            f"(1-solve wall {t1 * 1e3:.1f} ms incl. relay sync)"
+        )
+    except Exception as e:  # pragma: no cover
+        log(f"device-time measurement failed: {e}")
+
     # fastest measured 256³ configuration: MG-preconditioned CG — 2
     # V-cycles per outer defect-correction step, so ~half the outer
     # df-residual passes and while-loop iterations (measured ~15% faster

@@ -34,8 +34,13 @@ def build_parser():
     ap.add_argument("--threshold", type=float)
     ap.add_argument("--gridlevels", type=int)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--krylov", choices=["none", "pcg"],
+                    help="MG-preconditioned CG outer steps (stencil engine)")
+    ap.add_argument("--krylov-iters", type=int)
     ap.add_argument("--devices", type=int, default=0,
                     help=">1: distributed solve over an n-device mesh")
+    ap.add_argument("--mesh-shape", type=int, nargs=2, metavar=("HOSTS", "CHIPS"),
+                    help="2-axis (host, chip) mesh for the distributed solve")
     ap.add_argument("--backend", choices=["cpu", "tpu"],
                     help="force backend (cpu enables fake multi-device)")
     ap.add_argument("--levels", action="store_true",
@@ -50,10 +55,15 @@ def main(argv=None):
 
     import jax
 
+    n_mesh = (
+        args.mesh_shape[0] * args.mesh_shape[1] if args.mesh_shape else 0
+    )
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
-        if args.backend == "cpu" and args.devices > 1:
-            jax.config.update("jax_num_cpu_devices", args.devices)
+        if args.backend == "cpu" and max(args.devices, n_mesh) > 1:
+            jax.config.update(
+                "jax_num_cpu_devices", max(args.devices, n_mesh)
+            )
 
     import numpy as np
 
@@ -75,6 +85,8 @@ def main(argv=None):
             "cycles": args.cycles,
             "threshold": args.threshold,
             "gridlevels": args.gridlevels,
+            "krylov": args.krylov,
+            "krylov_iters": args.krylov_iters,
             "verbose": args.verbose or None,
         }.items()
         if v is not None
@@ -87,7 +99,12 @@ def main(argv=None):
     shape = tuple(args.shape)
     print(f"# setup {shape} ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    if args.devices > 1:
+    distributed = args.mesh_shape is not None or args.devices > 1
+    if args.mesh_shape is not None:
+        solver = distributed_setup(
+            shape, cfg, MeshConfig(mesh_shape=tuple(args.mesh_shape))
+        )
+    elif args.devices > 1:
         solver = distributed_setup(shape, cfg, MeshConfig(n_devices=args.devices))
     else:
         solver = setup(shape, cfg)
@@ -99,17 +116,11 @@ def main(argv=None):
     x, info = solver.solve(b)
     x, info = solver.solve(b)  # steady-state timing (first call compiles)
 
-    rep = solve_report(solver, info) if args.devices <= 1 else dict(info)
+    rep = solve_report(solver, info)
     rep["setup_s"] = setup_s
     rep["shape"] = list(shape)
-    if args.levels and args.devices <= 1:
+    if args.levels and not distributed:
         rep["levels"] = level_breakdown(solver)
-    if args.devices > 1:
-        rep["level_stats"] = [
-            {"shape": list(s), "offsets": int(k), "nnz": int(n)}
-            for (s, k, n) in rep["level_stats"]
-        ]
-        rep["partition_plan"] = list(rep["partition_plan"])
     out = json.dumps(rep, indent=2, sort_keys=True, default=float)
     if args.report:
         with open(args.report, "w") as f:

@@ -799,9 +799,41 @@ class DistributedSolver:
             return x_hi
         return df_merge((x_hi, x_lo))
 
-    def solve(self, b, x0=None):
+    def solve(
+        self,
+        b,
+        x0=None,
+        *,
+        checkpoint_path=None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+    ):
+        """Solve ``A x = b`` (same contract as ``core.solver.Solver.solve``
+        including checkpoint/resume — SURVEY.md §5.4: with
+        ``checkpoint_path``, the full-precision iterate + cycle counter
+        are written atomically every ``checkpoint_every`` cycles from the
+        host loop; ``resume=True`` restarts from the file, config-hash
+        validated)."""
         cfg = self.config
         shape = self.grid_shape
+
+        start_cycle = 0
+        preload_history = []
+        cfg_hash = None
+        if checkpoint_path is not None:
+            import os
+
+            from openmg_tpu.utils.checkpoint import (
+                config_hash,
+                load_checkpoint,
+            )
+
+            cfg_hash = config_hash(cfg, shape)
+            if resume and os.path.exists(checkpoint_path):
+                x0, start_cycle, preload_history = load_checkpoint(
+                    checkpoint_path, cfg_hash
+                )
+                x0 = np.asarray(x0).reshape(shape)
 
         # Device-resident inputs stay on device (mirrors core.solver:
         # H2D of a 256³ array through the remote relay costs ~10× the
@@ -835,8 +867,12 @@ class DistributedSolver:
             x_hi, x_lo = self._put_vec(x_hi), self._put_vec(x_lo)
 
         # device-side outer loop (one dispatch per solve); host loop below
-        # streams verbose per-cycle norms
-        if not cfg.verbose and cfg.outer_loop != "host":
+        # streams verbose per-cycle norms and writes checkpoints
+        if (
+            checkpoint_path is None
+            and not cfg.verbose
+            and cfg.outer_loop != "host"
+        ):
             from openmg_tpu.utils.observe import unpack_solve_meta
 
             t_start = time.perf_counter()
@@ -872,10 +908,10 @@ class DistributedSolver:
             return self._deliver(x_hi, x_lo, device_native, info), info
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
-        history, cycle_times = [], []
+        history, cycle_times = list(preload_history), []
         converged = False
         t_start = time.perf_counter()
-        for k in range(limit + 1):
+        for k in range(start_cycle, limit + 1):
             r_hi, r_lo, rnorm = self._residual(
                 self.fine_hi, self.fine_lo, b_hi, b_lo, x_hi, x_lo
             )
@@ -893,6 +929,16 @@ class DistributedSolver:
             x_hi, x_lo = df_add_f32((x_hi, x_lo), e)
             x_hi.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
+            if checkpoint_path is not None and (k + 1) % checkpoint_every == 0:
+                from openmg_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path,
+                    df_merge((x_hi, x_lo)),
+                    k + 1,
+                    history,
+                    cfg_hash,
+                )
 
         info = {
             "residual_norms": history,

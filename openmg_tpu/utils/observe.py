@@ -171,6 +171,13 @@ def solve_report(solver, info: dict, include_levels: bool = False) -> dict:
         sweeps = cfg.pre_iterations + cfg.post_iterations
         rec["fine_nnz"] = fine_nnz
         rec["cycle_smoother_nnz_per_s"] = fine_nnz * sweeps / mean_cycle
+    # distributed solves carry their mesh facts through (T13 surface)
+    if "partition_plan" in info:
+        rec["partition_plan"] = [bool(p) for p in info["partition_plan"]]
+    if "n_devices" in info:
+        rec["n_devices"] = int(info["n_devices"])
+    if "outer_loop" in info:
+        rec["outer_loop"] = info["outer_loop"]
     if include_levels:
         rec["levels"] = level_breakdown(solver)
     return rec

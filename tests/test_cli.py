@@ -50,3 +50,24 @@ def test_cli_config_file_and_overrides(tmp_path):
     rep = json.loads(p.stdout)
     assert rep["config"]["smoother"] == "rbgs"
     assert rep["config"]["cycles"] == 200
+
+
+def test_cli_krylov_and_mesh_shape(tmp_path, capsys):
+    from openmg_tpu.cli import main
+
+    rc = main([
+        "--shape", "32", "16",
+        "--krylov", "pcg", "--krylov-iters", "2",
+        "--cycles", "60", "--gridlevels", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["converged"]
+
+    rc = main([
+        "--shape", "32", "16", "--mesh-shape", "2", "4",
+        "--cycles", "60", "--gridlevels", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["converged"] and rep["n_devices"] == 8

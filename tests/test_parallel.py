@@ -400,3 +400,40 @@ def test_distributed_rejects_wide_halo():
     single = setup((offsets, coeffs), cfg)
     with pytest.raises(ValueError, match="radius-1"):
         DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
+
+
+def test_distributed_checkpoint_resume(tmp_path):
+    """Distributed solve interrupted after 3 cycles and resumed with a
+    higher cap reproduces the uninterrupted distributed solve exactly
+    (same contract as the single-device checkpoint/resume, SURVEY §5.4)."""
+    from openmg_tpu.utils.checkpoint import config_hash, load_checkpoint
+
+    shape = (32, 16)
+    b = rhs_random(shape, seed=11)
+    mc = MeshConfig(n_devices=4)
+    full = SolverConfig(smoother="rbgs", transfer="linear", cycles=40,
+                        gridlevels=3, max_dense_coarse=4096)
+    x_ref, info_ref = distributed_setup(shape, full, mc).solve(b)
+    assert info_ref["converged"]
+
+    p = tmp_path / "dist_state.npz"
+    short = SolverConfig(smoother="rbgs", transfer="linear", cycles=3,
+                         gridlevels=3, max_dense_coarse=4096)
+    _, info3 = distributed_setup(shape, short, mc).solve(
+        b, checkpoint_path=str(p)
+    )
+    assert not info3["converged"]
+    import dataclasses
+
+    # distributed_setup normalizes residual_dtype to "doublefloat"
+    short_norm = dataclasses.replace(short, residual_dtype="doublefloat")
+    _, cyc, _ = load_checkpoint(p, config_hash(short_norm, shape))
+    assert cyc == 3
+
+    x_res, info_res = distributed_setup(shape, full, mc).solve(
+        b, checkpoint_path=str(p), resume=True
+    )
+    assert info_res["converged"]
+    np.testing.assert_allclose(
+        np.asarray(x_res), np.asarray(x_ref), rtol=0, atol=1e-13
+    )
