@@ -337,6 +337,121 @@ class Solver:
         }
         return self._deliver(x, df, b_np is None, info), info
 
+    def solve_many(self, bs, x0s=None):
+        """Solve ``A x = b`` for a batch of right-hand sides in ONE
+        vmapped device program (the production many-rhs serving path).
+
+        ``bs``: ``(K, *grid)`` (or a list of grid arrays).  The batched
+        ``lax.while_loop`` runs lockstep until every rhs converges (a
+        converged lane's iterate is frozen by the in-loop ``lax.cond``),
+        so wall time tracks the slowest rhs — but all K solves share one
+        dispatch, one sync, and every kernel launch, which at small-to-
+        medium grids is dominant.  Pallas kernels batch via the extra
+        grid dimension; batched == scalar solves bit-exactly
+        (tests/test_solver.py).
+
+        Returns ``(xs, info)``: ``xs`` stacked like :meth:`solve` returns
+        (f32 device array for f32 jax-array input, else float64 numpy);
+        ``info`` carries per-rhs ``cycles``/``converged``/``final_norm``
+        lists and the per-rhs ``residual_norms`` histories.
+        """
+        cfg = self.config
+        h = self.hierarchy
+        shape = self.grid_shape
+        df = self.residual_mode == "doublefloat"
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+
+        device_native = isinstance(bs, jax.Array) and bs.dtype == jnp.float32
+        if device_native:
+            b_dev = bs.reshape((bs.shape[0],) + shape)
+        else:
+            b_np = np.stack(
+                [np.asarray(b, dtype=np.float64).reshape(shape) for b in bs]
+            )
+        K = int(b_dev.shape[0]) if device_native else b_np.shape[0]
+        if x0s is not None:
+            x0_np = np.stack(
+                [np.asarray(x, dtype=np.float64).reshape(shape) for x in x0s]
+            )
+        else:
+            x0_np = None
+
+        if df:
+            b_in = (
+                (b_dev, None)
+                if device_native
+                else df_split(b_np)
+            )
+            x_in = None if x0_np is None else df_split(x0_np)
+        else:
+            b_in = (
+                b_dev.astype(self.residual_mode)
+                if device_native
+                else jnp.asarray(b_np, dtype=self.residual_mode)
+            )
+            x_in = (
+                None
+                if x0_np is None
+                else jnp.asarray(x0_np, dtype=self.residual_mode)
+            )
+
+        static = dict(
+            limit=limit,
+            threshold=float(cfg.threshold),
+            pre=cfg.pre_iterations,
+            post=cfg.post_iterations,
+            smoother=cfg.smoother,
+            cycle_type=cfg.cycle_type,
+            krylov=cfg.krylov,
+            krylov_iters=cfg.krylov_iters,
+            omega=cfg.omega,
+            cycle_dtype=self.dtype,
+            df=df,
+            exact_terms=self._exact_terms,
+        )
+
+        t_start = time.perf_counter()
+        if x_in is None:
+            fn = lambda b1: _solve_device(h, b1, None, **static)
+            x_out, metas = jax.vmap(fn)(b_in)
+        else:
+            fn = lambda b1, x1: _solve_device(h, b1, x1, **static)
+            x_out, metas = jax.vmap(fn)(b_in, x_in)
+
+        from openmg_tpu.utils.observe import unpack_solve_meta
+
+        metas_np = np.asarray(metas)  # one D2H sync for the whole batch
+        solve_time = time.perf_counter() - t_start
+        cycles, converged, final_norms, histories = [], [], [], []
+        for k in range(K):
+            k_fin, hist, done = unpack_solve_meta(metas_np[k])
+            cycles.append(max(k_fin - 1, 0))
+            converged.append(bool(done))
+            final_norms.append(hist[-1] if hist else float("nan"))
+            histories.append(hist)
+        info = {
+            "batch": K,
+            "cycles": cycles,
+            "converged": converged,
+            "final_norm": final_norms,
+            "residual_norms": histories,
+            "gridlevels": h.num_levels,
+            "level_stats": h.stats,
+            "transfer": h.transfer.name,
+            "residual_mode": "doublefloat" if df else str(self.residual_mode),
+            "outer_loop": "device",
+            "solve_time_s": solve_time,
+        }
+        if not df:
+            xs = x_out
+            return (
+                xs if device_native else np.asarray(xs, dtype=np.float64)
+            ), info
+        if device_native:
+            info["x_df"] = x_out
+            return x_out[0], info
+        return df_merge(x_out), info
+
     @staticmethod
     def _deliver(x, df, device_native, info):
         """Result delivery policy: a host caller (numpy/f64 input — the

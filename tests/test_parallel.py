@@ -152,6 +152,9 @@ def test_overlapped_solve_matches_reference_path():
         ((32, 8, 256), "aggregate", "jacobi"),
         # chebyshev: residual-based fast path on partitioned cornered levels
         ((32, 16, 16), "linear", "chebyshev"),
+        # partitioned 2D with local nx >= 128: lifted Pallas kernels +
+        # boundary epilogues on 2D local blocks
+        ((32, 256), "linear", "rbgs"),
     ],
 )
 def test_distributed_matches_single_device(shape, transfer, smoother):

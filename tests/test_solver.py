@@ -217,3 +217,52 @@ def test_baseline_configs_full_size(shape, cfg):
         A = poisson(shape)
         r = b.ravel() - A @ np.asarray(x, dtype=np.float64).ravel()
         assert np.linalg.norm(r) < 2 * cfg.threshold
+
+
+def test_solve_many_matches_scalar_solves():
+    """Batched multi-rhs solve (one vmapped device program) == per-rhs
+    scalar solves bit-exactly, including per-lane cycle counts when the
+    rhs magnitudes differ (lockstep loop, frozen converged lanes)."""
+    import jax.numpy as jnp
+
+    shape = (32, 32)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear",
+                       residual_dtype="doublefloat", cycles=60)
+    solver = setup(shape, cfg)
+    rhs = [rhs_random(shape, seed=s) for s in range(3)]
+    rhs[1] = rhs[1] * 1e-3  # converges in fewer cycles
+    xs, info = solver.solve_many(rhs)
+    assert info["batch"] == 3
+    for k, b in enumerate(rhs):
+        xk, infok = solver.solve(b)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+        assert info["cycles"][k] == infok["cycles"]
+        assert info["converged"][k] == infok["converged"]
+    assert info["cycles"][1] < info["cycles"][0]
+
+    # device-native f32 batch input -> f32 device output + x_df pair
+    bb = jnp.asarray(np.stack(rhs), jnp.float32)
+    xs2, info2 = solver.solve_many(bb)
+    assert xs2.dtype == jnp.float32 and "x_df" in info2
+    np.testing.assert_allclose(
+        np.asarray(xs2, dtype=np.float64)
+        + np.asarray(info2["x_df"][1], dtype=np.float64),
+        np.stack([
+            np.asarray(solver.solve(np.asarray(b, dtype=np.float64))[0])
+            for b in np.asarray(bb, dtype=np.float64)
+        ]),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+def test_solve_many_float32_mode():
+    shape = (16, 16)
+    cfg = SolverConfig(smoother="jacobi", transfer="linear",
+                       residual_dtype="float32", threshold=1e-5, cycles=80)
+    solver = setup(shape, cfg)
+    rhs = [rhs_random(shape, seed=s) for s in (7, 8)]
+    xs, info = solver.solve_many(rhs)
+    assert all(info["converged"])
+    for k, b in enumerate(rhs):
+        xk, _ = solver.solve(b)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
