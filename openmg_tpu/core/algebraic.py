@@ -648,6 +648,78 @@ class AlgebraicSolver:
         }
         return x_out, info
 
+    def solve_many(self, bs, x0s=None):
+        """Batch of right-hand sides in ONE vmapped device program — the
+        general-sparse serving path (same contract as
+        ``core.solver.Solver.solve_many``; lockstep while loop, per-rhs
+        histories).  Returns ``(xs, info)`` with stacked float64 ``xs``."""
+        cfg = self.config
+        h = self.hierarchy
+        limit = cfg.cycles if cfg.cycles > 0 else 10_000
+        b_np = np.stack(
+            [np.asarray(b, dtype=np.float64).reshape(-1) for b in bs]
+        )
+        K = b_np.shape[0]
+        if x0s is None:
+            x0_np = np.zeros_like(b_np)
+        else:
+            x0_np = np.stack(
+                [np.asarray(x, dtype=np.float64).reshape(-1) for x in x0s]
+            )
+        if self.df:
+            b_in, x_in = df_split(b_np), df_split(x0_np)
+        else:
+            rd = h.fine_hi.dtype
+            b_in = jnp.asarray(b_np, dtype=rd)
+            x_in = jnp.asarray(x0_np, dtype=rd)
+
+        import functools as _ft
+
+        import jax as _jax
+
+        fn = _ft.partial(
+            _sparse_solve_device,
+            h,
+            limit=limit,
+            threshold=float(cfg.threshold),
+            pre=cfg.pre_iterations,
+            post=cfg.post_iterations,
+            smoother=cfg.smoother,
+            cycle_type=cfg.cycle_type,
+            omega=cfg.omega,
+            df=self.df,
+        )
+        t_start = time.perf_counter()
+        x_out, metas = _jax.vmap(lambda b1, x1: fn(b1, x1))(b_in, x_in)
+        from openmg_tpu.utils.observe import unpack_solve_meta
+
+        metas_np = np.asarray(metas)
+        solve_time = time.perf_counter() - t_start
+        cycles, converged, final_norms, histories = [], [], [], []
+        for k in range(K):
+            k_fin, hist, done = unpack_solve_meta(metas_np[k])
+            cycles.append(max(k_fin - 1, 0))
+            converged.append(bool(done))
+            final_norms.append(hist[-1] if hist else float("nan"))
+            histories.append(hist)
+        xs = df_merge(x_out) if self.df else np.asarray(x_out, np.float64)
+        info = {
+            "batch": K,
+            "cycles": cycles,
+            "converged": converged,
+            "final_norm": final_norms,
+            "residual_norms": histories,
+            "gridlevels": h.num_levels,
+            "level_stats": h.stats,
+            "format": h.fmt,
+            "residual_mode": (
+                "doublefloat" if self.df else str(h.fine_hi.dtype)
+            ),
+            "outer_loop": "device",
+            "solve_time_s": solve_time,
+        }
+        return xs, info
+
 
 def setup_sparse(A, shape, config: SolverConfig | None = None) -> AlgebraicSolver:
     """Build an :class:`AlgebraicSolver` for an arbitrary sparse SPD ``A``

@@ -96,6 +96,24 @@ class SolverConfig:
     outer_loop: str = "auto"
     verbose: bool = False
 
+    def __post_init__(self):
+        # fail at construction, not hours later at trace time
+        _check = {
+            "smoother": ("jacobi", "rbgs", "chebyshev"),
+            "cycle_type": ("v", "w", "f"),
+            "krylov": ("none", "pcg", None),
+            "transfer": ("aggregate", "linear"),
+            "format": ("auto", "stencil", "ell", "csr", "bsr", "dense"),
+            "outer_loop": ("auto", "device", "host"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"{field}={v!r}; choose from "
+                    f"{sorted(str(a) for a in allowed if a is not None)}"
+                )
+
     @staticmethod
     def from_parameters(parameters: dict) -> "SolverConfig":
         """Translate a reference-style ``parameters`` dict (R7 vocabulary)."""

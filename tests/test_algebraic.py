@@ -206,3 +206,20 @@ def test_krylov_rejected_on_general_engine():
     cfg = SolverConfig(krylov="pcg")
     with pytest.raises(ValueError, match="krylov"):
         setup_sparse(poisson((16, 16)), (16, 16), cfg)
+
+
+def test_sparse_solve_many_matches_scalar():
+    """General-sparse batched serving == per-rhs scalar solves."""
+    shape = (16, 16)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear", format="ell",
+                       gridlevels=3, max_dense_coarse=4096, cycles=60)
+    solver = setup_sparse(poisson(shape), shape, cfg)
+    rhs = [rhs_random(shape, seed=s).ravel() for s in (1, 2)]
+    rhs[1] = rhs[1] * 1e-3
+    xs, info = solver.solve_many(rhs)
+    assert info["batch"] == 2
+    for k, b in enumerate(rhs):
+        xk, infok = solver.solve(b)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+        assert info["cycles"][k] == infok["cycles"]
+    assert info["cycles"][1] < info["cycles"][0]

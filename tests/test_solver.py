@@ -266,3 +266,16 @@ def test_solve_many_float32_mode():
     for k, b in enumerate(rhs):
         xk, _ = solver.solve(b)
         np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+
+
+def test_config_validates_enums_at_construction():
+    """Bad enum values fail at SolverConfig construction, not at trace
+    time hours into a run."""
+    import pytest
+
+    for field, bad in [
+        ("smoother", "sor"), ("cycle_type", "q"), ("krylov", "gmres"),
+        ("transfer", "cubic"), ("format", "coo"), ("outer_loop", "async"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            SolverConfig(**{field: bad})
