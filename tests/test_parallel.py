@@ -440,3 +440,21 @@ def test_distributed_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(x_res), np.asarray(x_ref), rtol=0, atol=1e-13
     )
+
+
+def test_distributed_solve_many_matches_scalar():
+    """Distributed batched serving (vmap over the shard_map program) ==
+    per-rhs scalar distributed solves bit-exactly."""
+    shape = (32, 16)
+    cfg = SolverConfig(transfer="linear", residual_dtype="doublefloat",
+                       cycles=60, gridlevels=3, max_dense_coarse=4096)
+    solver = distributed_setup(shape, cfg, MeshConfig(n_devices=8))
+    rhs = [rhs_random(shape, seed=s) for s in (13, 14)]
+    rhs[1] = rhs[1] * 1e-3
+    xs, info = solver.solve_many(rhs)
+    assert info["batch"] == 2 and info["n_devices"] == 8
+    for k, b in enumerate(rhs):
+        xk, infok = solver.solve(b)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+        assert info["cycles"][k] == infok["cycles"]
+    assert info["cycles"][1] < info["cycles"][0]
