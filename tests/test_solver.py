@@ -279,3 +279,17 @@ def test_config_validates_enums_at_construction():
     ]:
         with pytest.raises(ValueError, match=field):
             SolverConfig(**{field: bad})
+
+
+def test_solve_many_with_initial_guesses():
+    shape = (16, 16)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear",
+                       residual_dtype="doublefloat", cycles=60)
+    solver = setup(shape, cfg)
+    rhs = [rhs_random(shape, seed=s) for s in (21, 22)]
+    x0s = [rhs_random(shape, seed=s) * 0.1 for s in (23, 24)]
+    xs, info = solver.solve_many(rhs, x0s=x0s)
+    for k in range(2):
+        xk, infok = solver.solve(rhs[k], x0=x0s[k])
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+        assert info["cycles"][k] == infok["cycles"]
