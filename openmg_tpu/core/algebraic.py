@@ -227,10 +227,24 @@ def build_sparse_hierarchy(
 
     nc = As[-1].shape[0]
     if nc > max_dense_coarse:
-        raise ValueError(
-            f"coarsest level has {nc} unknowns > max_dense_coarse="
-            f"{max_dense_coarse}; increase gridlevels"
-        )
+        from openmg_tpu.core.hierarchy import _UNCOARSENABLE_DENSE_CAP
+
+        # uncoarsenable grids degrade to the plain dense solve (bounded
+        # by a hard cap) instead of erroring — same policy as the
+        # stencil hierarchy (core/hierarchy.py::_coarse_inverse)
+        if gridlevels == 1 and nc <= _UNCOARSENABLE_DENSE_CAP:
+            import warnings
+
+            warnings.warn(
+                f"grid cannot be coarsened; solving its {nc} unknowns "
+                f"directly (above max_dense_coarse={max_dense_coarse})",
+                stacklevel=2,
+            )
+        else:
+            raise ValueError(
+                f"coarsest level has {nc} unknowns > max_dense_coarse="
+                f"{max_dense_coarse}; increase gridlevels"
+            )
     coarse_inv = np.linalg.inv(As[-1].toarray())
 
     levels, stats = [], []

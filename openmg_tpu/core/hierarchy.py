@@ -321,7 +321,9 @@ def build_hierarchy(
         c_offs, c_cfs = galerkin_rap_stencil(offs, cfs, transfer=transfer)
         chain.append((tuple(c_offs), c_cfs))
 
-    coarse_inv = _coarse_inverse(chain[-1], max_dense_coarse)
+    coarse_inv = _coarse_inverse(
+        chain[-1], max_dense_coarse, single_level=len(chain) == 1
+    )
 
     levels, stats = [], []
     for offs, cfs in chain:
@@ -371,14 +373,31 @@ def _residual_op_from_np(offs, cfs_np):
     return StencilOperator(jnp.asarray(cfs_np), offs)
 
 
-def _coarse_inverse(coarsest, max_dense_coarse):
+_UNCOARSENABLE_DENSE_CAP = 4096  # hard guard for the single-level escape
+
+
+def _coarse_inverse(coarsest, max_dense_coarse, single_level: bool = False):
     c_offs, c_cfs = coarsest
     nc = int(np.prod(c_cfs.shape[1:]))
     if nc > max_dense_coarse:
-        raise ValueError(
-            f"coarsest level has {nc} unknowns > max_dense_coarse="
-            f"{max_dense_coarse}; increase gridlevels (or max_dense_coarse)"
-        )
+        # a problem that cannot coarsen AT ALL (odd extents, tiny grids)
+        # degrades to the reference's plain dense solve rather than
+        # erroring — but only up to a hard cap, so an accidental 256³
+        # "1-level" request can never densify a gigarow matrix
+        if single_level and nc <= _UNCOARSENABLE_DENSE_CAP:
+            import warnings
+
+            warnings.warn(
+                f"grid cannot be coarsened; solving its {nc} unknowns "
+                f"directly (above max_dense_coarse={max_dense_coarse})",
+                stacklevel=3,
+            )
+        else:
+            raise ValueError(
+                f"coarsest level has {nc} unknowns > max_dense_coarse="
+                f"{max_dense_coarse}; increase gridlevels (or "
+                "max_dense_coarse)"
+            )
     Ac = stencil_to_csr(
         c_offs, np.asarray(c_cfs, dtype=np.float64)
     ).toarray()
@@ -543,7 +562,10 @@ def build_hierarchy_structured(
     for a in range(len(last.real_shape)):
         if last.m_shape[a] < last.real_shape[a]:
             c_full = expand_rep_np(c_full, a, last.real_shape[a])
-    coarse_inv = _coarse_inverse((last.offsets, c_full), max_dense_coarse)
+    coarse_inv = _coarse_inverse(
+        (last.offsets, c_full), max_dense_coarse,
+        single_level=len(slevels) == 1,
+    )
 
     fine_op = levels[0].A
     if residual_dtype == "doublefloat":
@@ -777,7 +799,10 @@ def build_hierarchy_device(
         coarse_pair = (coarse_op.offsets, c_cfs)
     else:
         coarse_pair = (coarse_op.offsets, np.asarray(coarse_op.coeffs))
-    coarse_inv = _coarse_inverse(coarse_pair, max_dense_coarse)
+    coarse_inv = _coarse_inverse(
+        coarse_pair, max_dense_coarse,
+        single_level=len(levels) == 1,
+    )
 
     fine_op = levels[0].A.astype(dtype)
     if residual_dtype == "doublefloat":

@@ -293,3 +293,38 @@ def test_solve_many_with_initial_guesses():
         xk, infok = solver.solve(rhs[k], x0=x0s[k])
         np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
         assert info["cycles"][k] == infok["cycles"]
+
+
+def test_uncoarsenable_grid_degrades_to_direct_solve():
+    """Odd-extent grids that cannot coarsen solve directly (with a
+    warning) instead of erroring — up to a hard cap that still protects
+    against densifying genuinely large problems."""
+    import warnings
+
+    import pytest
+
+    from openmg_tpu import mg_solve
+    from openmg_tpu.core.algebraic import setup_sparse
+    from openmg_tpu.models.poisson import poisson
+
+    shape = (9, 9, 9)  # 729 unknowns > default max_dense_coarse=512
+    b = rhs_random(shape, seed=2).ravel()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        x, info = mg_solve(
+            None, b, {"problemshape": shape, "cycles": 300, "threshold": 1e-8}
+        )
+    assert info["converged"] and info["gridlevels"] == 1
+    assert any("coarsen" in str(ww.message) for ww in w)
+
+    # same policy on the general-sparse engine
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = setup_sparse(poisson(shape), shape, SolverConfig(format="ell"))
+    x2, info2 = s.solve(b)
+    assert info2["converged"]
+
+    # the hard cap still guards large uncoarsenable problems
+    with pytest.raises(ValueError, match="max_dense_coarse"):
+        mg_solve(None, rhs_random((17, 17, 17), seed=1).ravel(),
+                 {"problemshape": (17, 17, 17)})
