@@ -40,10 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "supports",
     "supports_fused_update",
+    "supports_varying",
     "jacobi_const_3d",
     "rbgs_const_3d",
     "rbgs_half_sweep_const_3d",
     "residual_const_3d",
+    "jacobi_vary_3d",
+    "rbgs_vary_3d",
+    "residual_vary_3d",
     "df_update_residual_const_3d",
 ]
 
@@ -289,6 +293,192 @@ def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
     offsets = tuple(tuple(o) for o in offsets)
     return _half_sweep(
         values, b, x, offsets=offsets, mode="rbgs", omega=0.0, color=color
+    )
+
+
+# ---------------------------------------------------------------------------
+# varying-coefficient smoothers (the diffusion / general-stencil family)
+# ---------------------------------------------------------------------------
+
+_VARY_BUDGET = 48 * 1024 * 1024  # coeff blocks dominate; v5e VMEM is 128 MB
+
+
+def _pick_tz_vary(shape, k: int) -> int:
+    nz, ny, nx = shape
+    plane = ny * nx * 4
+
+    def fits(tz):
+        # (K coeff + x tile + b + out) slabs + 2 halo planes, dbl-buffered
+        return ((k + 3) * tz + 2) * plane * 2 <= _VARY_BUDGET
+
+    tz = 1
+    while tz * 2 <= nz and nz % (tz * 2) == 0 and fits(tz * 2):
+        tz *= 2
+    return tz
+
+
+def supports_varying(offsets, shape) -> bool:
+    """Pallas path for varying-coefficient stencils (T3/T4 scope
+    closure: the diffusion family runs the kernel tier).  Same grid
+    rules as :func:`supports`; the VMEM fit additionally holds the K
+    coefficient slabs per tile.
+
+    Measured on-chip (128³ diffusion, rbgs): bit-exact vs jnp and ~par
+    on time — XLA fuses the varying shift chain about as well as the
+    explicit kernel, because the path streams K coefficient grids either
+    way.  The kernel's value is uniformity (one tier, explicit tiling)
+    and the platform for future multi-sweep fusion of coefficients."""
+    if len(shape) == 2:
+        if any(len(off) != 2 for off in offsets):
+            return False
+        return supports_varying(_lift2d(offsets), (1,) + tuple(shape))
+    if len(shape) != 3:
+        return False
+    nz, ny, nx = shape
+    if nz < 1 or ny < 2 or nx < 128 or nx % 128:
+        return False
+    if any(abs(o) > 1 for off in offsets for o in off):
+        return False
+    tz = _pick_tz_vary(shape, len(offsets))
+    return nz % tz == 0 and ((len(offsets) + 3) * tz + 2) * ny * nx * 4 * 2 <= _VARY_BUDGET
+
+
+def _vary_kernel(
+    coef_ref, t_ref, lo_ref, hi_ref, b_ref, out_ref, *, offsets, mode,
+    omega, color, tz, ny, nx, gz
+):
+    i = pl.program_id(0)
+    t = t_ref[...]
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    b = b_ref[...]
+    di = offsets.index((0, 0, 0))
+    inv_d = 1.0 / coef_ref[di]  # (tz, ny, nx)
+
+    acc = None
+    for k, off in enumerate(offsets):
+        if mode == "rbgs" and k == di:
+            continue
+        term = (
+            t
+            if off == (0, 0, 0)
+            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx))
+        )
+        term = coef_ref[k] * term
+        acc = term if acc is None else acc + term
+
+    if mode == "jacobi":
+        om = jnp.asarray(omega, dtype=t.dtype)
+        out_ref[...] = t + om * (inv_d * (b - acc))
+    elif mode == "residual":
+        out_ref[...] = b - acc
+    else:
+        xn = inv_d * (b - acc)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 2)
+        par = (i * tz + iz + iy + ix) & 1
+        out_ref[...] = jnp.where(par == color, xn, t)
+
+
+def _half_sweep_vary(coeffs, b, x, *, offsets, mode, omega, color):
+    nz, ny, nx = x.shape
+    tz = _pick_tz_vary(x.shape, len(offsets))
+    gz = nz // tz
+    kern = functools.partial(
+        _vary_kernel,
+        offsets=offsets,
+        mode=mode,
+        omega=omega,
+        color=color,
+        tz=tz,
+        ny=ny,
+        nx=nx,
+        gz=gz,
+    )
+    interpret = jax.default_backend() != "tpu"
+    extra = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            )
+        }
+    )
+    K = len(offsets)
+    return pl.pallas_call(
+        kern,
+        grid=(gz,),
+        in_specs=[
+            pl.BlockSpec(
+                (K, tz, ny, nx), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ny, nx),
+                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ny, nx),
+                lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+        **extra,
+    )(coeffs, x, x, x, b)
+
+
+def jacobi_vary_3d(coeffs, offsets, b, x, iterations: int, omega: float):
+    """Weighted-Jacobi sweeps for a varying-coefficient 2D/3D stencil
+    (one fused pass per sweep: K coefficient slabs + x + b in, x out)."""
+    if x.ndim == 2:
+        return jacobi_vary_3d(
+            coeffs[:, None], _lift2d(offsets), b[None], x[None],
+            iterations, omega,
+        )[0]
+    offsets = tuple(tuple(o) for o in offsets)
+    for _ in range(iterations):
+        x = _half_sweep_vary(
+            coeffs, b, x, offsets=offsets, mode="jacobi", omega=omega,
+            color=0,
+        )
+    return x
+
+
+def rbgs_vary_3d(coeffs, offsets, b, x, iterations: int):
+    """Red–black GS sweeps for a varying-coefficient 2D/3D stencil."""
+    if x.ndim == 2:
+        return rbgs_vary_3d(
+            coeffs[:, None], _lift2d(offsets), b[None], x[None], iterations
+        )[0]
+    offsets = tuple(tuple(o) for o in offsets)
+    for _ in range(iterations):
+        for color in (0, 1):
+            x = _half_sweep_vary(
+                coeffs, b, x, offsets=offsets, mode="rbgs", omega=0.0,
+                color=color,
+            )
+    return x
+
+
+def residual_vary_3d(coeffs, offsets, b, x):
+    """Fused residual for a varying-coefficient 2D/3D stencil."""
+    if x.ndim == 2:
+        return residual_vary_3d(
+            coeffs[:, None], _lift2d(offsets), b[None], x[None]
+        )[0]
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep_vary(
+        coeffs, b, x, offsets=offsets, mode="residual", omega=0.0, color=0
     )
 
 

@@ -425,6 +425,23 @@ def smooth(
                 )
             if name == "rbgs":
                 return kernels.rbgs_const_3d(op.values, op.offsets, b, x, iterations)
+    if (
+        use_pallas
+        and not op.is_constant
+        and x.dtype == jnp.float32
+        and name in ("jacobi", "rbgs")
+    ):
+        from openmg_tpu.ops import kernels
+
+        # varying-coefficient fast path (diffusion / general stencils)
+        if op.coeffs.dtype == jnp.float32 and kernels.supports_varying(
+            op.offsets, x.shape
+        ):
+            if name == "jacobi":
+                return kernels.jacobi_vary_3d(
+                    op.coeffs, op.offsets, b, x, iterations, omega
+                )
+            return kernels.rbgs_vary_3d(op.coeffs, op.offsets, b, x, iterations)
     if name == "jacobi":
         return jacobi(op, inv_diag, b, x, iterations, omega)
     if name == "rbgs":

@@ -524,4 +524,14 @@ def residual(op, b: jax.Array, x: jax.Array) -> jax.Array:
 
         if kernels.supports(op.offsets, x.shape):
             return kernels.residual_const_3d(op.values, op.offsets, b, x)
+    elif (
+        not isinstance(op, (CorneredOperator, FacedStencilOperator))
+        and x.dtype == jnp.float32
+        and op.coeffs is not None
+        and op.coeffs.dtype == jnp.float32
+    ):
+        from openmg_tpu.ops import kernels
+
+        if kernels.supports_varying(op.offsets, x.shape):
+            return kernels.residual_vary_3d(op.coeffs, op.offsets, b, x)
     return b - apply(op, x)

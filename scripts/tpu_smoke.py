@@ -71,6 +71,20 @@ def main():
         kernels.residual_const_3d(vals, offsets, b, x),
         b - apply(op, x),
     )
+    # varying-coefficient kernels (diffusion family, T3/T4 scope closure)
+    from openmg_tpu.models.poisson import diffusion_stencil
+
+    rngv = np.random.default_rng(12)
+    kappa = 0.5 + rngv.random(shape)
+    off_v, coef_v = diffusion_stencil(kappa)
+    op_v = StencilOperator(jnp.asarray(coef_v, jnp.float32), off_v)
+    assert kernels.supports_varying(off_v, shape)
+    ok &= check(
+        "rbgs varying x2",
+        kernels.rbgs_vary_3d(op_v.coeffs, off_v, b, x, 2),
+        rbgs(op_v, 1.0 / op_v.diag(), b, x, 2),
+    )
+
     # 2D lifted kernels (BASELINE config 2: 256² RB-GS on 1 chip)
     shape2 = (256, 256)
     off2 = poisson_offsets(2)

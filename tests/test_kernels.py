@@ -222,3 +222,73 @@ def test_2d_df_update_residual_kernel():
     np.testing.assert_allclose(
         np.asarray(r), np.asarray(r2[0]), rtol=0, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# varying-coefficient kernels (the diffusion / general-stencil family)
+# ---------------------------------------------------------------------------
+
+
+def _vary_op(shape, seed=0):
+    """Realistic varying operator: variable-coefficient diffusion."""
+    from openmg_tpu.models.poisson import diffusion_stencil
+
+    rng = np.random.default_rng(seed)
+    kappa = 0.5 + rng.random(shape)
+    offsets, coeffs = diffusion_stencil(kappa)
+    return StencilOperator(jnp.asarray(coeffs, jnp.float32), offsets)
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 128), (4, 16, 256), (2, 512, 512)])
+@pytest.mark.parametrize("name", ["jacobi", "rbgs"])
+def test_varying_kernels_match_jnp(shape, name):
+    from openmg_tpu.ops.smoothers import jacobi as jacobi_jnp, rbgs as rbgs_jnp
+
+    op = _vary_op(shape, seed=31)
+    inv_d = 1.0 / op.diag()
+    b = jnp.asarray(rhs_random(shape, seed=32), jnp.float32)
+    x = jnp.asarray(rhs_random(shape, seed=33), jnp.float32)
+    assert kernels.supports_varying(op.offsets, shape)
+    if name == "jacobi":
+        got = kernels.jacobi_vary_3d(op.coeffs, op.offsets, b, x, 2, 2 / 3)
+        want = jacobi_jnp(op, inv_d, b, x, 2, 2 / 3)
+    else:
+        got = kernels.rbgs_vary_3d(op.coeffs, op.offsets, b, x, 2)
+        want = rbgs_jnp(op, inv_d, b, x, 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_varying_kernels_2d():
+    from openmg_tpu.ops.smoothers import rbgs as rbgs_jnp
+
+    op = _vary_op((64, 128), seed=34)
+    inv_d = 1.0 / op.diag()
+    b = jnp.asarray(rhs_random((64, 128), seed=35), jnp.float32)
+    x = jnp.asarray(rhs_random((64, 128), seed=36), jnp.float32)
+    assert kernels.supports_varying(op.offsets, (64, 128))
+    got = kernels.rbgs_vary_3d(op.coeffs, op.offsets, b, x, 2)
+    want = rbgs_jnp(op, inv_d, b, x, 2)
+    assert got.shape == (64, 128)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_varying_residual_matches_apply():
+    from openmg_tpu.ops.stencil import apply, residual
+
+    op = _vary_op((8, 8, 128), seed=37)
+    b = jnp.asarray(rhs_random((8, 8, 128), seed=38), jnp.float32)
+    x = jnp.asarray(rhs_random((8, 8, 128), seed=39), jnp.float32)
+    got = kernels.residual_vary_3d(op.coeffs, op.offsets, b, x)
+    want = b - apply(op, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    # the dispatching residual() takes the same path
+    got2 = residual(op, b, x)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
