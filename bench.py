@@ -189,19 +189,21 @@ def main():
         ell_used = ell_mod.supports(M_ell)
 
         @jax.jit
-        def ell_sweeps(Mv, vv):
+        def ell_sweeps(Mv, rhs, vv):
+            # rhs is a jit ARGUMENT: closing over the 16.7M-float array
+            # would inline it as an HLO constant → relay HTTP 413
             from openmg_tpu.ops.sparse import spmv as _spmv
 
             y = vv
             for _ in range(10):
-                y = bb - _spmv(Mv, y) * jnp.float32(1.0 / 6.0)
+                y = rhs - _spmv(Mv, y) * jnp.float32(1.0 / 6.0)
             return y
 
-        float(jnp.sum(ell_sweeps(M_ell, x_ell)))  # compile + sync
+        float(jnp.sum(ell_sweeps(M_ell, bb, x_ell)))  # compile + sync
         t0 = time.perf_counter()
         y_ell = x_ell
         for _ in range(3):
-            y_ell = ell_sweeps(M_ell, y_ell)
+            y_ell = ell_sweeps(M_ell, bb, y_ell)
         float(jnp.sum(y_ell))
         dt_ell = (time.perf_counter() - t0) / 30
         log(

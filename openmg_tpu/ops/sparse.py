@@ -112,6 +112,15 @@ class ELLMatrix:
     — the layout both XLA and the Pallas banded kernel
     (:mod:`openmg_tpu.ops.ell`) want; row-major ``(n, k)`` would put the
     tiny ``k`` in lanes and waste ~16× VMEM tile padding.
+
+    **Invariant:** when ``slot_offsets`` is not None, every true entry of
+    slot ``j`` satisfies ``cols[j, i] == i + slot_offsets[j]`` (pads are
+    ``data == 0`` anywhere).  The Pallas DIA kernel trusts
+    ``slot_offsets`` and never reads ``cols``; the two builders
+    (:func:`ell_from_scipy`, ``models.poisson.poisson_ell_device``)
+    maintain the invariant, and hand-constructed / ``dataclasses.replace``'d
+    instances must too — otherwise ``spmv`` silently computes a wrong
+    product.  Set ``slot_offsets=None`` to force the gather path.
     """
 
     data: jax.Array  # (k, nrows)

@@ -79,8 +79,28 @@ def initialize_distributed(**kwargs) -> None:
     """
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Only benign re-initialization is swallowed; a genuine bootstrap
+        # failure (bad coordinator address, port clash, …) must surface
+        # here, not later as a confusing 1-process mesh.
+        msg = str(e).lower()
+        if "already initialized" in msg or "more than once" in msg:
+            return
+        if "must be called before" in msg:
+            # the XLA backend is already up in this process (e.g. tests,
+            # or a late call after device use) — bootstrap is impossible
+            # now; warn so a pod user notices instead of silently running
+            # a 1-process mesh
+            import warnings
+
+            warnings.warn(
+                "initialize_distributed() called after the XLA backend "
+                "was initialized — running single-process",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return
+        raise
     except ValueError:
         # single-process environment with no coordinator (e.g. local CPU
         # or a lone chip): nothing to bootstrap — a true no-op

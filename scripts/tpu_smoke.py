@@ -194,15 +194,18 @@ def main():
     ok &= bool(info3["converged"])
 
     # Banded Pallas ELL SpMV at the true 256³ Poisson configuration
-    # (TR = 65536 row tiles, K = 7 — the largest VMEM fit): the general-
-    # sparse kernel tier's compile check.  The ELL is synthesized on
-    # device (host scipy at 256³ would be ~1.4 GB of slow host work).
+    # (TR = 131072-row tiles — max|d| = 65536 forces the first multiple of
+    # 1024 ≥ 65536+128 that divides 2²⁴ — K = 7): the general-sparse
+    # kernel tier's compile check.  The ELL is synthesized on device
+    # (host scipy at 256³ would be ~1.4 GB of slow host work).
     print("ELL SpMV (256³ Poisson, on-device):")
     from openmg_tpu.models.poisson import poisson_ell_device
     from openmg_tpu.ops import ell as ell_mod
 
     M = poisson_ell_device((256, 256, 256))
     assert ell_mod.supports(M), (M.bandwidth, M.k)
+    tr = ell_mod.pick_tile_rows(M.shape[0], M.k, M.slot_offsets)
+    assert tr == 131072, f"expected TR=131072 at 256³, got {tr}"
     xr = jax.random.normal(
         jax.random.PRNGKey(5), (M.shape[0],), dtype=jnp.float32
     )

@@ -326,6 +326,30 @@ def test_initialize_distributed_noop_paths():
     initialize_distributed()  # idempotent
 
 
+def test_initialize_distributed_reraises_genuine_errors(monkeypatch):
+    """Only the benign already-initialized RuntimeError is swallowed; a
+    genuine bootstrap failure (bad coordinator, port clash) must
+    propagate, not silently degrade to a 1-process mesh."""
+    import jax
+
+    from openmg_tpu.parallel.mesh import initialize_distributed
+
+    def boom(**kwargs):
+        raise RuntimeError("Unable to connect to coordinator at 10.0.0.1")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        initialize_distributed()
+
+    def already(**kwargs):
+        raise RuntimeError(
+            "jax.distributed.initialize() was called more than once"
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    initialize_distributed()  # benign: swallowed
+
+
 def test_weak_scaling_harness_schema():
     """Pin the weak-scaling harness (BASELINE north-star metric surface):
     record schema, efficiency formula (per-device throughput relative to
