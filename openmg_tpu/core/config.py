@@ -191,6 +191,13 @@ class MeshConfig:
         and across DCN only at host boundaries.  None → 1D mesh of
         ``n_devices``.
     axis_names: mesh axis names used with ``mesh_shape``.
+    force_partition: debug/validation mode — mark levels *partitioned*
+        even on a 1-device mesh.  ``halo_planes`` degenerates to zero
+        planes with no collective there, so the compiled program is
+        exactly the per-device pod program (zero-halo Pallas bulk +
+        boundary-plane epilogues + cornered fix-ups + fused df edge
+        repair), which lets a single chip compile-check and benchmark the
+        distributed fast tier without a pod (scripts/bench_dist_chip.py).
     """
 
     n_devices: Optional[int] = None
@@ -199,3 +206,4 @@ class MeshConfig:
     overlap_halo: bool = True
     mesh_shape: Optional[tuple] = None
     axis_names: tuple = ("host", "chip")
+    force_partition: bool = False

@@ -45,8 +45,11 @@ __all__ = [
     "rbgs_const_3d",
     "rbgs_half_sweep_const_3d",
     "residual_const_3d",
+    "halo_half_sweep_const_3d",
+    "halo_half_sweep_vary_3d",
     "jacobi_vary_3d",
     "rbgs_vary_3d",
+    "rbgs_half_sweep_vary_3d",
     "residual_vary_3d",
     "df_update_residual_const_3d",
 ]
@@ -86,13 +89,131 @@ def _lift2d(offsets):
     return tuple((0,) + tuple(o) for o in offsets)
 
 
+# ---------------------------------------------------------------------------
+# folded-2D tier: large 2D grids as z-slabs (un-caps the 512² lift limit)
+# ---------------------------------------------------------------------------
+#
+# A (ny, nx) grid reshapes to (nz', ry, nx) with ny = nz'·ry: y-neighbor
+# taps become axis-1 shifts inside a chunk, and the 2·nz' chunk-boundary
+# rows — where the kernel's in-tile y masking wrongly zeroes the neighbor
+# — are repaired by an O(nz'·nx) jnp epilogue (the same halo-correction
+# algebra parallel/fast.py uses across devices, applied across chunks).
+# The z axis of the folded view is a pure batch dimension (all folded
+# offsets have oz = 0), so the kernel pipelines deep (tz·ry)-row slabs
+# instead of one giant VMEM plane — the lift path's 512² cap disappears
+# and the VPU stays busy.  ry is even, so the 2D (y + x) parity equals
+# (j + ix) parity and the kernel runs with zstride = 0.
+
+
+def _fold2d_pick(offsets, shape):
+    """Choose the fold ``(ry, shape3)`` for a 2D grid, or None.
+
+    ry sweeps the even divisors of ny (≥ 8); the score models the two
+    overheads: the kernel's unused z-neighbor plane streams (2/tz of one
+    of ~3 streams) and the jnp boundary-row repair (~2/ry of the grid at
+    roughly 2× kernel cost per element)."""
+    ny, nx = shape
+    if nx < 128 or nx % 128 or ny < 16:
+        return None
+    if any(len(off) != 2 or abs(off[0]) > 1 or abs(off[1]) > 1
+           for off in offsets):
+        return None
+    k = len(offsets)
+    best = None
+    ry = 8
+    while ry * 2 <= ny:
+        if ny % ry == 0:
+            nz_ = ny // ry
+            s3 = (nz_, ry, nx)
+            tz = _pick_tz(s3, k)
+            if nz_ % tz == 0 and _fits(tz, ry * nx * 4, k):
+                cost = 2.0 / (3.0 * tz) + 4.0 / ry
+                if best is None or cost < best[0]:
+                    best = (cost, ry, s3)
+        ry += 8
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def _xshift_rows(v, ox):
+    """Zero-filled lane shift ``v[..., i + ox]`` for ox ∈ {−1, 0, 1}."""
+    if ox == 0:
+        return v
+    nx = v.shape[-1]
+    r = jnp.roll(v, -ox, axis=-1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    m = (ix < nx - 1) if ox == 1 else (ix > 0)
+    return r * m.astype(v.dtype)
+
+
+def _fold2d_fix(mode, values, offsets, inv_d, omega, color, x_old3, xk3, ry):
+    """Repair the chunk-boundary rows of a folded-2D half-sweep output.
+
+    The kernel zeroed the cross-chunk y-neighbor taps; the missing terms
+    are ``corr_hi[c] = Σ_{oy=+1} v_k · shift_x(x_old[c+1, 0])`` at rows
+    (c, ry−1), c < nz'−1, and symmetrically ``corr_lo`` at rows (c, 0),
+    c > 0 — exactly the halo-correction algebra of parallel/fast.py with
+    the "halo" read from the adjacent chunk of the same array."""
+    corr_hi = None  # rows (c, ry-1): neighbor is (c+1, 0)
+    corr_lo = None  # rows (c, 0): neighbor is (c-1, ry-1)
+    for kk, (oy, ox) in enumerate(offsets):
+        if oy == 1:
+            t = values[kk] * _xshift_rows(x_old3[1:, 0, :], ox)
+            corr_hi = t if corr_hi is None else corr_hi + t
+        elif oy == -1:
+            t = values[kk] * _xshift_rows(x_old3[:-1, ry - 1, :], ox)
+            corr_lo = t if corr_lo is None else corr_lo + t
+    if corr_hi is None and corr_lo is None:
+        return xk3
+    nx = xk3.shape[-1]
+
+    def fix(rows, corr, jpar):
+        # rows: (m, nx) slice of xk3 to repair; jpar: row parity (ry even
+        # ⇒ 2D parity == (j + ix) & 1)
+        if mode == "jacobi":
+            om = jnp.asarray(omega, dtype=rows.dtype)
+            return rows - om * inv_d * corr
+        if mode == "rbgs":
+            ix = jax.lax.broadcasted_iota(jnp.int32, corr.shape, corr.ndim - 1)
+            m = ((jpar + ix) & 1) == color
+            return rows - jnp.where(m, inv_d * corr, 0.0)
+        return rows - corr  # residual
+
+    if corr_hi is not None:
+        xk3 = xk3.at[:-1, ry - 1, :].set(
+            fix(xk3[:-1, ry - 1, :], corr_hi, (ry - 1) & 1)
+        )
+    if corr_lo is not None:
+        xk3 = xk3.at[1:, 0, :].set(fix(xk3[1:, 0, :], corr_lo, 0))
+    return xk3
+
+
+def _half_sweep_fold2d(values, offsets, b, x, *, mode, omega, color, fold):
+    ry, s3 = fold
+    off3 = tuple((0, oy, ox) for oy, ox in offsets)
+    x3 = x.reshape(s3)
+    xk3 = _half_sweep(
+        values, b.reshape(s3), x3, offsets=off3, mode=mode, omega=omega,
+        color=color, zstride=0,
+    )
+    di = offsets.index((0, 0))
+    inv_d = 1.0 / values[di]
+    xk3 = _fold2d_fix(mode, values, offsets, inv_d, omega, color, x3, xk3, ry)
+    return xk3.reshape(x.shape)
+
+
 def supports(offsets, shape) -> bool:
-    """Can the Pallas fast path run this operator/grid?  2D grids are
-    supported by lifting to (1, ny, nx) — the kernels' z masking is exact
-    for a single plane (both z edges are domain edges)."""
+    """Can the Pallas fast path run this operator/grid?  2D grids fold
+    into z-slabs when large enough (see the folded-2D tier below — deep
+    pipelined slabs, no 512² VMEM-plane cap), else lift to (1, ny, nx)
+    — the kernels' z masking is exact for a single plane (both z edges
+    are domain edges)."""
     if len(shape) == 2:
         if any(len(off) != 2 for off in offsets):
             return False
+        if _fold2d_pick(offsets, shape) is not None:
+            return True
         return supports(_lift2d(offsets), (1,) + tuple(shape))
     if len(shape) != 3:
         return False
@@ -105,12 +226,19 @@ def supports(offsets, shape) -> bool:
     return nz % tz == 0 and _fits(tz, ny * nx * 4, len(offsets))
 
 
-def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
+def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t,
+                  halo_lo=None, halo_hi=None):
     """``shift(x, off)`` restricted to the tile, zero outside the domain.
 
     ``t``: (TZ, ny, nx) aligned tile; ``lo_plane``/``hi_plane``: (1, ny, nx)
     neighbor planes (contents are clamped duplicates at the domain edge and
-    masked off here).
+    masked off here).  ``halo_lo``/``halo_hi`` (optional, (1, ny, nx)):
+    planes received from the NEIGHBOR DEVICE of a row-partitioned block —
+    substituted (instead of zero) at the block's z edges, which makes the
+    whole partitioned half-sweep ONE kernel pass (no boundary-plane
+    epilogue, no concatenate — parallel/fast.py).  At true domain edges
+    the halo layer supplies zero planes, so the Dirichlet truncation is
+    preserved.
     """
     tz, ny, nx = shape_t
     oz, oy, ox = off
@@ -122,17 +250,23 @@ def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
         # zero-extent vector, which Mosaic rejects)
         w = hi_plane if tz == 1 else jnp.concatenate([t[1:], hi_plane], axis=0)
         edge = jnp.where(i == gz - 1, 0.0, 1.0).astype(t.dtype)
-        zmask = 1.0 + (edge - 1.0) * (
+        last = (
             jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == tz - 1
         ).astype(t.dtype)
+        zmask = 1.0 + (edge - 1.0) * last
         w = w * zmask
+        if halo_hi is not None:
+            w = w + ((1.0 - edge) * last) * halo_hi
     else:
         w = lo_plane if tz == 1 else jnp.concatenate([lo_plane, t[:-1]], axis=0)
         edge = jnp.where(i == 0, 0.0, 1.0).astype(t.dtype)
-        zmask = 1.0 + (edge - 1.0) * (
+        first = (
             jax.lax.broadcasted_iota(jnp.int32, (tz, 1, 1), 0) == 0
         ).astype(t.dtype)
+        zmask = 1.0 + (edge - 1.0) * first
         w = w * zmask
+        if halo_lo is not None:
+            w = w + ((1.0 - edge) * first) * halo_lo
     if oy != 0:
         w = jnp.roll(w, -oy, axis=1)
         iy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
@@ -147,9 +281,15 @@ def _shifted_term(off, t, lo_plane, hi_plane, i, gz, shape_t):
 
 
 def _smoother_kernel(
-    vals_ref, t_ref, lo_ref, hi_ref, b_ref, out_ref, *, offsets, mode,
-    omega, color, tz, ny, nx, gz
+    vals_ref, t_ref, lo_ref, hi_ref, b_ref, *rest, offsets, mode,
+    omega, color, tz, ny, nx, gz, zstride=1, halo=False
 ):
+    if halo:
+        hlo_ref, hhi_ref, out_ref = rest
+        hlo, hhi = hlo_ref[...], hhi_ref[...]
+    else:
+        (out_ref,) = rest
+        hlo = hhi = None
     i = pl.program_id(0)
     t = t_ref[...]
     lo = lo_ref[...]
@@ -165,7 +305,7 @@ def _smoother_kernel(
         term = (
             t
             if off == (0, 0, 0)
-            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx))
+            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx), hlo, hhi)
         )
         term = vals_ref[0, k] * term
         acc = term if acc is None else acc + term
@@ -177,15 +317,19 @@ def _smoother_kernel(
         out_ref[...] = b - acc
     else:
         xn = inv_d * (b - acc)
-        # global parity: (i*tz + iz) + iy + ix
+        # global parity: (i*tz + iz)·zstride + iy + ix.  zstride=1 is the
+        # true 3D case; the folded-2D path passes zstride = ry % 2 = 0 so
+        # the chunk index (an artifact of the fold) drops out and parity
+        # is the 2D (y + x) parity.
         iz = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 0)
         iy = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 1)
         ix = jax.lax.broadcasted_iota(jnp.int32, (tz, ny, nx), 2)
-        par = (i * tz + iz + iy + ix) & 1
+        par = ((i * tz + iz) * zstride + iy + ix) & 1
         out_ref[...] = jnp.where(par == color, xn, t)
 
 
-def _half_sweep(values, b, x, *, offsets, mode, omega, color):
+def _half_sweep(values, b, x, *, offsets, mode, omega, color, zstride=1,
+                halos=None):
     nz, ny, nx = x.shape
     tz = _pick_tz(x.shape, len(offsets))
     gz = nz // tz
@@ -199,6 +343,8 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
         ny=ny,
         nx=nx,
         gz=gz,
+        zstride=zstride,
+        halo=halos is not None,
     )
     vals2d = values.reshape(1, -1)
     interpret = jax.default_backend() != "tpu"
@@ -211,38 +357,56 @@ def _half_sweep(values, b, x, *, offsets, mode, omega, color):
             )
         }
     )
+    in_specs = [
+        pl.BlockSpec((1, len(offsets)), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        # neighbor planes: block size 1 along z → block index == element
+        # index, clamped at the domain edges (masked in-kernel)
+        pl.BlockSpec(
+            (1, ny, nx),
+            lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, ny, nx),
+            lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [vals2d, x, x, x, b]
+    if halos is not None:
+        # device-halo planes for a row-partitioned block (parallel/fast.py):
+        # constant index map — every tile can see both, the kernel uses
+        # them only at the block's z edges
+        plane_spec = pl.BlockSpec(
+            (1, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [plane_spec, plane_spec]
+        args += [halos[0], halos[1]]
     return pl.pallas_call(
         kern,
         grid=(gz,),
-        in_specs=[
-            pl.BlockSpec((1, len(offsets)), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # neighbor planes: block size 1 along z → block index == element
-            # index, clamped at the domain edges (masked in-kernel)
-            pl.BlockSpec(
-                (1, ny, nx),
-                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, ny, nx),
-                lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
         **extra,
-    )(vals2d, x, x, x, b)
+    )(*args)
 
 
 def residual_const_3d(values, offsets, b, x):
     """Fused residual ``r = b − A x`` (R5) for a 2D/3D constant stencil."""
     if x.ndim == 2:
+        offsets = tuple(tuple(o) for o in offsets)
+        fold = _fold2d_pick(offsets, x.shape)
+        if fold is not None:
+            return _half_sweep_fold2d(
+                values, offsets, b, x, mode="residual", omega=0.0,
+                color=0, fold=fold,
+            )
         return residual_const_3d(
             values, _lift2d(offsets), b[None], x[None]
         )[0]
@@ -255,6 +419,15 @@ def residual_const_3d(values, offsets, b, x):
 def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):
     """Fused weighted-Jacobi sweeps (T3) for a 2D/3D constant stencil."""
     if x.ndim == 2:
+        offsets = tuple(tuple(o) for o in offsets)
+        fold = _fold2d_pick(offsets, x.shape)
+        if fold is not None:
+            for _ in range(iterations):
+                x = _half_sweep_fold2d(
+                    values, offsets, b, x, mode="jacobi", omega=omega,
+                    color=0, fold=fold,
+                )
+            return x
         return jacobi_const_3d(
             values, _lift2d(offsets), b[None], x[None], iterations, omega
         )[0]
@@ -270,6 +443,16 @@ def rbgs_const_3d(values, offsets, b, x, iterations: int):
     """Fused red–black Gauss–Seidel sweeps (T4) for a 2D/3D constant
     stencil."""
     if x.ndim == 2:
+        offsets = tuple(tuple(o) for o in offsets)
+        fold = _fold2d_pick(offsets, x.shape)
+        if fold is not None:
+            for _ in range(iterations):
+                for color in (0, 1):
+                    x = _half_sweep_fold2d(
+                        values, offsets, b, x, mode="rbgs", omega=0.0,
+                        color=color, fold=fold,
+                    )
+            return x
         return rbgs_const_3d(
             values, _lift2d(offsets), b[None], x[None], iterations
         )[0]
@@ -287,12 +470,38 @@ def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
     """One single-color RB-GS half-sweep (used by the faced-operator path,
     which fixes boundary rows between half-sweeps)."""
     if x.ndim == 2:
+        offsets = tuple(tuple(o) for o in offsets)
+        fold = _fold2d_pick(offsets, x.shape)
+        if fold is not None:
+            return _half_sweep_fold2d(
+                values, offsets, b, x, mode="rbgs", omega=0.0,
+                color=color, fold=fold,
+            )
         return rbgs_half_sweep_const_3d(
             values, _lift2d(offsets), b[None], x[None], color
         )[0]
     offsets = tuple(tuple(o) for o in offsets)
     return _half_sweep(
         values, b, x, offsets=offsets, mode="rbgs", omega=0.0, color=color
+    )
+
+
+def halo_half_sweep_const_3d(
+    values, offsets, b, x, mode: str, omega: float, color: int,
+    lower, upper,
+):
+    """One constant-stencil half-sweep (``mode`` ∈ jacobi|rbgs|residual)
+    on a row-partitioned local block with the two received halo planes
+    consumed IN-KERNEL at the block's z edges — the whole partitioned
+    half-sweep is one Pallas pass, no boundary-plane epilogue or
+    concatenate (measured: the epilogue path cost 3.5× the single-device
+    sweep at 256³; this path is ~1×).  ``lower``/``upper`` are
+    (1, ny, nx) planes from the halo exchange (zeros at global domain
+    edges, preserving the Dirichlet truncation)."""
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep(
+        values, b, x, offsets=offsets, mode=mode, omega=omega, color=color,
+        halos=(lower, upper),
     )
 
 
@@ -344,9 +553,15 @@ def supports_varying(offsets, shape) -> bool:
 
 
 def _vary_kernel(
-    coef_ref, t_ref, lo_ref, hi_ref, b_ref, out_ref, *, offsets, mode,
-    omega, color, tz, ny, nx, gz
+    coef_ref, t_ref, lo_ref, hi_ref, b_ref, *rest, offsets, mode,
+    omega, color, tz, ny, nx, gz, halo=False
 ):
+    if halo:
+        hlo_ref, hhi_ref, out_ref = rest
+        hlo, hhi = hlo_ref[...], hhi_ref[...]
+    else:
+        (out_ref,) = rest
+        hlo = hhi = None
     i = pl.program_id(0)
     t = t_ref[...]
     lo = lo_ref[...]
@@ -362,7 +577,7 @@ def _vary_kernel(
         term = (
             t
             if off == (0, 0, 0)
-            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx))
+            else _shifted_term(off, t, lo, hi, i, gz, (tz, ny, nx), hlo, hhi)
         )
         term = coef_ref[k] * term
         acc = term if acc is None else acc + term
@@ -381,7 +596,8 @@ def _vary_kernel(
         out_ref[...] = jnp.where(par == color, xn, t)
 
 
-def _half_sweep_vary(coeffs, b, x, *, offsets, mode, omega, color):
+def _half_sweep_vary(coeffs, b, x, *, offsets, mode, omega, color,
+                     halos=None):
     nz, ny, nx = x.shape
     tz = _pick_tz_vary(x.shape, len(offsets))
     gz = nz // tz
@@ -395,6 +611,7 @@ def _half_sweep_vary(coeffs, b, x, *, offsets, mode, omega, color):
         ny=ny,
         nx=nx,
         gz=gz,
+        halo=halos is not None,
     )
     interpret = jax.default_backend() != "tpu"
     extra = (
@@ -407,34 +624,55 @@ def _half_sweep_vary(coeffs, b, x, *, offsets, mode, omega, color):
         }
     )
     K = len(offsets)
+    in_specs = [
+        pl.BlockSpec(
+            (K, tz, ny, nx), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, ny, nx),
+            lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, ny, nx),
+            lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [coeffs, x, x, x, b]
+    if halos is not None:
+        plane_spec = pl.BlockSpec(
+            (1, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [plane_spec, plane_spec]
+        args += [halos[0], halos[1]]
     return pl.pallas_call(
         kern,
         grid=(gz,),
-        in_specs=[
-            pl.BlockSpec(
-                (K, tz, ny, nx), lambda i: (0, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ny, nx),
-                lambda i: (jnp.maximum(i * tz - 1, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, ny, nx),
-                lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
         **extra,
-    )(coeffs, x, x, x, b)
+    )(*args)
+
+
+def halo_half_sweep_vary_3d(
+    coeffs, offsets, b, x, mode: str, omega: float, color: int,
+    lower, upper,
+):
+    """Varying-coefficient analog of :func:`halo_half_sweep_const_3d`
+    (one partitioned half-sweep = one Pallas pass, halos in-kernel)."""
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep_vary(
+        coeffs, b, x, offsets=offsets, mode=mode, omega=omega, color=color,
+        halos=(lower, upper),
+    )
 
 
 def jacobi_vary_3d(coeffs, offsets, b, x, iterations: int, omega: float):
@@ -468,6 +706,20 @@ def rbgs_vary_3d(coeffs, offsets, b, x, iterations: int):
                 color=color,
             )
     return x
+
+
+def rbgs_half_sweep_vary_3d(coeffs, offsets, b, x, color: int):
+    """One single-color RB-GS half-sweep for a varying-coefficient
+    stencil (the distributed fast tier runs these between halo-plane
+    epilogues — parallel/fast.py)."""
+    if x.ndim == 2:
+        return rbgs_half_sweep_vary_3d(
+            coeffs[:, None], _lift2d(offsets), b[None], x[None], color
+        )[0]
+    offsets = tuple(tuple(o) for o in offsets)
+    return _half_sweep_vary(
+        coeffs, b, x, offsets=offsets, mode="rbgs", omega=0.0, color=color
+    )
 
 
 def residual_vary_3d(coeffs, offsets, b, x):
@@ -538,9 +790,20 @@ def _df_update(xh, xl, e):
 def _fused_kernel(
     xh_ref, xl_ref, e_ref, bh_ref, bl_ref,
     xh_lo, xh_hi, xl_lo, xl_hi, e_lo, e_hi,
-    oxh_ref, oxl_ref, or_ref,
-    *, offsets, terms, tz, ny, nx, gz,
+    *rest,
+    offsets, terms, tz, ny, nx, gz, halo=False,
 ):
+    if halo:
+        # device-halo planes of (x_hi, x_lo, e): the UPDATED halo x' is
+        # computed in-kernel from the pre-update neighbor planes, so the
+        # partitioned fused step needs no post-kernel edge repair
+        (hxh_lo, hxh_hi, hxl_lo, hxl_hi, he_lo, he_hi,
+         oxh_ref, oxl_ref, or_ref) = rest
+        hlo_h, hlo_l = _df_update(hxh_lo[...], hxl_lo[...], he_lo[...])
+        hhi_h, hhi_l = _df_update(hxh_hi[...], hxl_hi[...], he_hi[...])
+    else:
+        oxh_ref, oxl_ref, or_ref = rest
+        hlo_h = hlo_l = hhi_h = hhi_l = None
     i = pl.program_id(0)
     nxh, nxl = _df_update(xh_ref[...], xl_ref[...], e_ref[...])
     lo_h, lo_l = _df_update(xh_lo[...], xl_lo[...], e_lo[...])
@@ -553,8 +816,12 @@ def _fused_kernel(
         if off == (0, 0, 0):
             sh_h, sh_l = nxh, nxl
         else:
-            sh_h = _shifted_term(off, nxh, lo_h, hi_h, i, gz, shape_t)
-            sh_l = _shifted_term(off, nxl, lo_l, hi_l, i, gz, shape_t)
+            sh_h = _shifted_term(
+                off, nxh, lo_h, hi_h, i, gz, shape_t, hlo_h, hhi_h
+            )
+            sh_l = _shifted_term(
+                off, nxl, lo_l, hi_l, i, gz, shape_t, hlo_l, hhi_l
+            )
         for p in tp:
             pf = jnp.float32(p)
             # acc ← acc − p·x' : exact products (p = ±2^k), compensated sum
@@ -569,7 +836,8 @@ def _fused_kernel(
     or_ref[...] = acch
 
 
-def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
+def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
+                                halos=None):
     """Fused outer-loop step for dyadic constant 3D stencils:
 
         (x_hi', x_lo') = df_add_f32((x_hi, x_lo), e)
@@ -580,8 +848,18 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
     ``offsets``/``terms`` are static; ``terms[k]`` is the power-of-two
     decomposition of tap k (products exact, only compensated adds on the
     VPU — see ops.doublefloat.pow2_terms).
+
+    ``halos`` (optional): ``((xh_lo, xh_hi), (xl_lo, xl_hi), (e_lo,
+    e_hi))`` received device-halo planes of a row-partitioned block; the
+    updated halo x' is derived in-kernel, so the partitioned fused step
+    is one pass with no edge repair (parallel/dist.py).
     """
     if x_hi.ndim == 2:
+        if halos is not None:
+            # the lift maps the partition axis to the kernel's y axis, so
+            # device halos cannot be consumed — callers must use the
+            # unfused df path for partitioned 2D blocks (parallel/dist.py)
+            raise ValueError("halos unsupported for 2D blocks")
         xh, xl, r = df_update_residual_const_3d(
             _lift2d(offsets), terms, x_hi[None], x_lo[None], e[None],
             b_hi[None], b_lo[None],
@@ -599,6 +877,7 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
         ny=ny,
         nx=nx,
         gz=gz,
+        halo=halos is not None,
     )
     tile = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lo_plane = pl.BlockSpec(
@@ -611,12 +890,21 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
         lambda i: (jnp.minimum(i * tz + tz, nz - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [tile, tile, tile, tile, tile,
+                lo_plane, hi_plane, lo_plane, hi_plane, lo_plane, hi_plane]
+    args = [x_hi, x_lo, e, b_hi, b_lo, x_hi, x_hi, x_lo, x_lo, e, e]
+    if halos is not None:
+        plane_spec = pl.BlockSpec(
+            (1, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [plane_spec] * 6
+        for pair in halos:
+            args += [pair[0], pair[1]]
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kern,
         grid=(gz,),
-        in_specs=[tile, tile, tile, tile, tile,
-                  lo_plane, hi_plane, lo_plane, hi_plane, lo_plane, hi_plane],
+        in_specs=in_specs,
         out_specs=(tile, tile, tile),
         out_shape=(
             jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
@@ -624,5 +912,5 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo):
             jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
         ),
         interpret=interpret,
-    )(x_hi, x_lo, e, b_hi, b_lo, x_hi, x_hi, x_lo, x_lo, e, e)
+    )(*args)
     return out

@@ -149,26 +149,46 @@ class ELLMatrix:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("data", "bcols"),
-    meta_fields=("shape", "blocksize", "nnz"),
+    meta_fields=("shape", "blocksize", "nnz", "slot_offsets"),
 )
 @dataclasses.dataclass(frozen=True)
 class BSRMatrix:
     """Block-sparse rows in block-ELL layout.
 
-    ``data[I, J]`` is the dense ``(br, bc)`` block coupling block-row ``I``
-    to block-column ``bcols[I, J]``; pad slots are zero blocks at block
-    column 0.  ``nnz`` counts true scalar nonzeros.
+    Two device layouts, keyed on ``slot_offsets``:
+
+    * ``slot_offsets is None`` (general): ``data[I, J]`` is the dense
+      ``(br, bc)`` block coupling block-row ``I`` to block-column
+      ``bcols[I, J]``; pad slots are zero blocks at block column 0.
+      SpMV gathers block columns and contracts with ``einsum``.
+    * ``slot_offsets = (d_0, …)`` (**blocked-band**): every true block of
+      slot ``J`` sits at ``bcols[I, J] == I + d_J`` — detected at build
+      (the Poisson family, vector-PDE stencils, any block-banded matrix).
+      ``data`` is then stored **slot-major** as ``(kb, bc, n)``:
+      ``data[J, j, I·br + i]`` is element ``(i, j)`` of block ``(I,
+      I + d_J)``.  The layout puts the length-``n`` row dimension in TPU
+      lanes (like :class:`ELLMatrix`) so the SpMV is gather-free: for
+      each (slot, block column j), a flat shift of the block-aligned
+      ``x`` replica by ``d_J·bc`` — the Pallas kernel tier
+      (:mod:`openmg_tpu.ops.bsr`) and the jnp fallback both use it.
+      ``bcols`` is kept for interchange (``to_scipy``).
+
+    ``nnz`` counts true scalar nonzeros.
     """
 
-    data: jax.Array  # (nbrows, kb, br, bc)
+    data: jax.Array  # (nbrows, kb, br, bc) | banded: (kb, bc, n)
     bcols: jax.Array  # (nbrows, kb) int32
     shape: tuple
     blocksize: tuple  # (br, bc)
     nnz: int
+    slot_offsets: tuple | None = None
 
     @property
     def kb(self) -> int:
-        return int(self.data.shape[1])
+        return int(
+            self.data.shape[0] if self.slot_offsets is not None
+            else self.data.shape[1]
+        )
 
     @property
     def dtype(self):
@@ -344,10 +364,46 @@ def bsr_from_scipy(
     kb = max(kb if kb is not None else kb_true, 1)
     if kb < kb_true:
         raise ValueError(f"kb={kb} < max blocks/row {kb_true}")
+    rows = np.repeat(np.arange(nbr), counts)
+
+    # blocked-band packing (square blocks): slot-per-block-delta, so every
+    # slot has a constant block-column delta and the gather-free SpMV
+    # engages (mirrors ell_from_scipy's offset-aligned packing — compact
+    # per-row packing would misalign slots at boundary rows)
+    if n == m and br == bc and B.indices.size:
+        deltas_all = B.indices.astype(np.int64) - rows
+        uniq = np.unique(deltas_all)
+        kb_dia = len(uniq)
+        # delta-packing may need a few more slots than compact packing
+        # (e.g. when every block row touches a boundary and misses one
+        # side's neighbor); accept ≤ ~50% zero-block padding — the
+        # gather-free SpMV wins far more than the extra zero stream costs
+        if kb_dia <= max(kb, kb_true + max(kb_true // 2, 2)):
+            kbb = max(kb, kb_dia, 1)
+            slot_of = {int(d): s for s, d in enumerate(uniq)}
+            s_idx = np.array([slot_of[int(d)] for d in deltas_all])
+            data_sm = np.zeros((kbb, bc, nbr, br), dtype=dtype)
+            # data_sm[s, j, I, i] = block[i, j]
+            data_sm[s_idx, :, rows, :] = B.data.transpose(0, 2, 1)
+            bcols = np.zeros((nbr, kbb), dtype=np.int32)
+            bcols[rows, s_idx] = B.indices
+            offs = [0] * kbb
+            for s, d in enumerate(uniq):
+                offs[s] = int(d)
+            return BSRMatrix(
+                data=jnp.asarray(
+                    np.ascontiguousarray(data_sm.reshape(kbb, bc, n))
+                ),
+                bcols=jnp.asarray(bcols),
+                shape=(int(n), int(m)),
+                blocksize=(br, bc),
+                nnz=true_nnz,
+                slot_offsets=tuple(offs),
+            )
+
     data = np.zeros((nbr, kb, br, bc), dtype=dtype)
     bcols = np.zeros((nbr, kb), dtype=np.int32)
     slot = np.arange(B.indices.size) - np.repeat(B.indptr[:-1], counts)
-    rows = np.repeat(np.arange(nbr), counts)
     data[rows, slot] = B.data
     bcols[rows, slot] = B.indices
     return BSRMatrix(
@@ -394,6 +450,8 @@ def to_scipy(M):
         br, bc = M.blocksize
         nbr, kb = M.bcols.shape
         data = np.asarray(M.data)
+        if M.slot_offsets is not None:  # slot-major → canonical blocks
+            data = data.reshape(kb, bc, nbr, br).transpose(2, 0, 3, 1)
         bcols = np.asarray(M.bcols)
         indptr = np.arange(nbr + 1) * kb
         B = sp.bsr_matrix(
@@ -432,6 +490,12 @@ def spmv(M, x: jax.Array) -> jax.Array:
         )
     if isinstance(M, BSRMatrix):
         br, bc = M.blocksize
+        if M.slot_offsets is not None:
+            from openmg_tpu.ops import bsr as _bsr
+
+            if _bsr.supports(M) and x.dtype == jnp.float32:
+                return _bsr.spmv_bsr(M, x)
+            return _bsr.spmv_banded_jnp(M, x)
         xb = x.reshape(-1, bc)[M.bcols]  # (nbr, kb, bc)
         y = jnp.einsum("rkij,rkj->ri", M.data, xb)
         return y.reshape(-1)
@@ -476,6 +540,16 @@ def diagonal(M) -> jax.Array:
         )
     if isinstance(M, BSRMatrix):
         br, bc = M.blocksize
+        if M.slot_offsets is not None:
+            # diag[r] = Σ_{slots with d=0} data[s, r % B, r]
+            rmod = jnp.arange(n, dtype=jnp.int32) % br
+            diag = jnp.zeros((n,), M.dtype)
+            for s, d in enumerate(M.slot_offsets):
+                if d != 0:
+                    continue
+                sel = jnp.take_along_axis(M.data[s], rmod[None, :], axis=0)
+                diag = diag + sel[0]
+            return diag
         nbr = n // br
         rows = jnp.arange(nbr, dtype=M.bcols.dtype)[:, None]
         dia_blocks = jnp.sum(

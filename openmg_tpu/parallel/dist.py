@@ -60,7 +60,9 @@ from openmg_tpu.parallel.mesh import make_mesh
 __all__ = ["partition_plan", "DistributedSolver", "distributed_setup"]
 
 
-def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
+def partition_plan(
+    shapes, n_dev: int, min_rows_per_device: int = 2, force: bool = False
+) -> tuple:
     """Static per-level partitioned/replicated decision (T11 policy table).
 
     Level ℓ stays partitioned while all of: the previous level is
@@ -69,6 +71,11 @@ def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
     factor-2 restriction never splits an aggregation cell across devices).
     The coarsest level is always replicated (its direct solve is a small
     dense matmul executed identically everywhere).
+
+    ``force=True`` (``MeshConfig.force_partition``) drops the ``n_dev > 1``
+    requirement: levels are marked partitioned even on a 1-device mesh so
+    a single chip compiles/runs the exact per-device pod program (the
+    halo layer degenerates to zero planes with no collective there).
     """
     plan = []
     prev = True
@@ -76,7 +83,7 @@ def partition_plan(shapes, n_dev: int, min_rows_per_device: int = 2) -> tuple:
         s0 = int(shape[0])
         ok = (
             prev
-            and n_dev > 1
+            and (n_dev > 1 or force)
             and s0 % n_dev == 0
             and s0 // n_dev >= min_rows_per_device
             and (s0 // n_dev) % 2 == 0
@@ -233,6 +240,15 @@ def _dist_v_cycle(
                 return fast.smooth_part(
                     smoother, op, b, x, iters, omega, axis_name, n_dev
                 )
+            # varying levels (the diffusion family) run the vary Pallas
+            # kernels with boundary epilogues when the overlapped scheme
+            # is on; chebyshev keeps the jnp path (its λ_max pmax lives
+            # there), as does overlap=False (the reference exchange path)
+            if overlap and smoother in ("jacobi", "rbgs"):
+                return fast.smooth_part_vary(
+                    smoother, op, inv_diag_at(level), b, x, iters, omega,
+                    axis_name, n_dev,
+                )
             return _smooth_part(
                 smoother, op, inv_diag_at(level), b, x, iters, omega,
                 axis_name, n_dev, overlap,
@@ -246,6 +262,8 @@ def _dist_v_cycle(
         if plan[level]:
             if kinds[level] in ("const", "corner"):
                 return fast.residual_part(op, b, x, axis_name, n_dev)
+            if overlap:
+                return fast.residual_part_vary(op, b, x, axis_name, n_dev)
             return b - _apply_dist(op, x, axis_name, n_dev, overlap)
         return stencil_residual(op, b, x)
 
@@ -388,13 +406,13 @@ def _dist_solve_loop(
     dyadic constant stencil whose local block the fused kernel supports):
     run the one-HBM-pass ``df_update_residual_const_3d`` kernel per cycle
     — the double-float update x ← x + e AND the exact-terms residual —
-    then repair the two boundary planes with the exact df epilogue that
-    reads the *updated* halo planes (parallel/fast.py)."""
+    with the (x_hi, x_lo, e) halo planes exchanged up front and consumed
+    in-kernel (the updated halo x' is derived inside the kernel, so no
+    post-kernel edge repair exists)."""
     hist0 = jnp.full((limit + 1,), -1.0, dtype=jnp.float32)
 
     if fused_terms is not None:
         from openmg_tpu.ops import kernels as _kernels
-        from openmg_tpu.parallel import fast as _fast
 
         axis_name = res_kwargs["axis_name"]
         n_dev = res_kwargs["n_dev"]
@@ -411,15 +429,13 @@ def _dist_solve_loop(
             (xh, xl), r, k, hist, _ = st
             e = _dist_v_cycle(level_data, coarse_inv, r, **cycle_kwargs)
             xh, xl, r2 = _kernels.df_update_residual_const_3d(
-                fine_offsets, fused_terms, xh, xl, e, b_hi, b_lo
+                fine_offsets, fused_terms, xh, xl, e, b_hi, b_lo,
+                halos=(
+                    halo_planes(xh, axis_name, n_dev),
+                    halo_planes(xl, axis_name, n_dev),
+                    halo_planes(e, axis_name, n_dev),
+                ),
             )
-            lo_h, up_h = halo_planes(xh, axis_name, n_dev)
-            lo_l, up_l = halo_planes(xl, axis_name, n_dev)
-            first, last = _fast.df_residual_edge_planes(
-                fine_offsets, fused_terms, b_hi, b_lo, xh, xl,
-                lo_h, lo_l, up_h, up_l,
-            )
-            r2 = jnp.concatenate([first, r2[1:-1], last], axis=0)
             nsq = jnp.sum(r2 * r2)
             if n_dev > 1:
                 nsq = lax.psum(nsq, axis_name)
@@ -554,7 +570,10 @@ class DistributedSolver:
         self.n_dev = self.mesh.devices.size
         shapes = [s[0] for s in hierarchy.stats]
         self.plan = partition_plan(
-            shapes, self.n_dev, self.mesh_config.min_rows_per_device
+            shapes,
+            self.n_dev,
+            self.mesh_config.min_rows_per_device,
+            force=self.mesh_config.force_partition,
         )
         if not self.plan[0] and self.n_dev > 1:
             raise ValueError(
@@ -738,6 +757,10 @@ class DistributedSolver:
             self._exact_terms is not None
             and self.fine_const
             and _kernels.supports_fused_update(fine_offsets, local0)
+            # partitioned 2D blocks can't consume device halos in-kernel
+            # (the lift maps the partition axis to the kernel's y axis) —
+            # they take the unfused df path instead
+            and not (self.plan[0] and len(local0) != 3)
         )
         solve_impl = functools.partial(
             _dist_solve_loop,
@@ -799,29 +822,70 @@ class DistributedSolver:
             return x_hi
         return df_merge((x_hi, x_lo))
 
+    def _batch_sharding(self):
+        _, vec = self._specs()
+        bspec = P(*((None,) + tuple(vec)))
+        return NamedSharding(self.mesh, bspec)
+
+    def _zeros_batch(self, like):
+        """Batch-sharded zeros materialized on device (mirrors
+        :meth:`_zeros_vec` — a host ``np.zeros`` would ship K grids
+        through the relay)."""
+        if not hasattr(self, "_zeros_batch_prog"):
+            self._zeros_batch_prog = jax.jit(
+                jnp.zeros_like, out_shardings=self._batch_sharding()
+            )
+        return self._zeros_batch_prog(like)
+
     def solve_many(self, bs, x0s=None):
         """Batch of right-hand sides in ONE vmapped distributed program
         (``vmap`` over the jitted shard_map solve loop — verified
         bit-identical to scalar distributed solves).  Same contract as
         ``core.solver.Solver.solve_many``: lockstep while loop, per-rhs
-        cycle counts/histories; returns stacked float64 ``xs``."""
+        cycle counts/histories.  A ``(K, *grid)`` f32 jax-array ``bs``
+        (and optionally ``x0s``) takes the device-native path — no host
+        ``df_split``, the lo parts and zero guesses are materialized on
+        device (mirrors :meth:`solve`); host/numpy input returns stacked
+        float64 ``xs``, device-native input returns the f32 hi part with
+        the full pair in ``info['x_df']``."""
         cfg = self.config
         shape = self.grid_shape
-        b_np = np.stack(
-            [np.asarray(b, dtype=np.float64).reshape(shape) for b in bs]
-        )
-        K = b_np.shape[0]
-        if x0s is None:
-            x0_np = np.zeros_like(b_np)
+        sh = self._batch_sharding()
+        device_native = isinstance(bs, jax.Array) and bs.dtype == jnp.float32
+        if device_native:
+            K = int(bs.shape[0])
+            b_hi = jax.device_put(bs.reshape((K,) + shape), sh)
+            b_lo = self._zeros_batch(b_hi)
+            if x0s is None:
+                x_hi, x_lo = self._zeros_batch(b_hi), self._zeros_batch(b_hi)
+            elif isinstance(x0s, jax.Array) and x0s.dtype == jnp.float32:
+                x_hi = jax.device_put(x0s.reshape((K,) + shape), sh)
+                x_lo = self._zeros_batch(b_hi)
+            else:
+                x_hi, x_lo = (
+                    jax.device_put(a, sh)
+                    for a in df_split(
+                        np.stack(
+                            [
+                                np.asarray(x, dtype=np.float64).reshape(shape)
+                                for x in x0s
+                            ]
+                        )
+                    )
+                )
         else:
-            x0_np = np.stack(
-                [np.asarray(x, dtype=np.float64).reshape(shape) for x in x0s]
+            b_np = np.stack(
+                [np.asarray(b, dtype=np.float64).reshape(shape) for b in bs]
             )
-        _, vec = self._specs()
-        bspec = P(*((None,) + tuple(vec)))
-        sh = NamedSharding(self.mesh, bspec)
-        b_hi, b_lo = (jax.device_put(a, sh) for a in df_split(b_np))
-        x_hi, x_lo = (jax.device_put(a, sh) for a in df_split(x0_np))
+            K = b_np.shape[0]
+            if x0s is None:
+                x0_np = np.zeros_like(b_np)
+            else:
+                x0_np = np.stack(
+                    [np.asarray(x, dtype=np.float64).reshape(shape) for x in x0s]
+                )
+            b_hi, b_lo = (jax.device_put(a, sh) for a in df_split(b_np))
+            x_hi, x_lo = (jax.device_put(a, sh) for a in df_split(x0_np))
 
         t_start = time.perf_counter()
         xh, xl, metas = jax.vmap(
@@ -862,6 +926,9 @@ class DistributedSolver:
             "outer_loop": "device",
             "solve_time_s": solve_time,
         }
+        if device_native:
+            info["x_df"] = (xh, xl)
+            return xh, info
         return df_merge((xh, xl)), info
 
     def solve(

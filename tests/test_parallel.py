@@ -40,6 +40,11 @@ def test_partition_plan():
     # once replicated, stays replicated
     plan2 = partition_plan([(8, 8), (64, 64), (32, 32)], 8)
     assert plan2 == (False, False, False)
+    # force: 1-device mesh still marks levels partitioned (pod-program
+    # compile-check mode; the coarsest stays replicated)
+    assert partition_plan(shapes, 1, force=True) == (
+        True, True, True, True, False
+    )
 
 
 def test_halo_exchange_matches_global_stencil():
@@ -189,6 +194,76 @@ def test_distributed_matches_single_device(shape, transfer, smoother):
         info8["residual_norms"][:n],
         rtol=1e-4,
         atol=1e-12,
+    )
+
+
+def test_distributed_vary_kernel_tier():
+    """(32, 8, 256) diffusion: partitioned varying-coefficient levels run
+    the vary Pallas kernels inside shard_map (the local block (4, 8, 256)
+    passes the same supports_varying gate the fast tier checks), matching
+    the single-device solve (VERDICT r3 task 2)."""
+    from openmg_tpu.models.poisson import diffusion_stencil
+    from openmg_tpu.ops import kernels
+
+    shape = (32, 8, 256)
+    rng = np.random.default_rng(5)
+    kappa = np.exp(0.5 * rng.standard_normal(shape))
+    offsets, coeffs = diffusion_stencil(kappa)
+    local = (shape[0] // 8,) + shape[1:]
+    # the gate fast.smooth_part_vary applies to the per-device block
+    assert kernels.supports_varying(offsets, local)
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        residual_dtype="doublefloat",
+        cycles=60,
+        gridlevels=3,
+        max_dense_coarse=4096,
+        threshold=1e-8,
+    )
+    b = rhs_random(shape, seed=6)
+    single = setup((offsets, coeffs), cfg)
+    x1, info1 = single.solve(b)
+    dist = DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
+    assert dist.kinds[0] == "vary" and dist.plan[0] is True
+    x8, info8 = dist.solve(b)
+    assert info8["converged"] == info1["converged"]
+    assert abs(info8["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x8), np.asarray(x1), rtol=1e-7, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("shape", [(32, 16, 16), (32, 8, 256)])
+def test_force_partition_single_device_matches(shape):
+    """MeshConfig(force_partition=True) on a 1-device mesh runs the exact
+    per-device pod program (zero-halo Pallas bulk + boundary epilogues +
+    cornered fix-ups + fused df edge repair — parallel/fast.py) and must
+    reproduce the single-device solve.  This is the program
+    scripts/bench_dist_chip.py compiles on the real chip; here it runs in
+    interpreter mode for correctness."""
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        residual_dtype="doublefloat",
+        cycles=60,
+        gridlevels=3,
+        max_dense_coarse=4096,
+        threshold=1e-9,
+    )
+    b = rhs_random(shape, seed=11)
+    single = setup(shape, cfg)
+    x1, info1 = single.solve(b)
+    forced = DistributedSolver(
+        single.hierarchy, cfg,
+        MeshConfig(n_devices=1, force_partition=True),
+    )
+    assert forced.plan[0] is True and forced.n_dev == 1
+    xf, infof = forced.solve(b)
+    assert infof["converged"] == info1["converged"]
+    assert abs(infof["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(xf), np.asarray(x1), rtol=1e-8, atol=1e-10
     )
 
 
@@ -482,3 +557,35 @@ def test_distributed_solve_many_matches_scalar():
         np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
         assert info["cycles"][k] == infok["cycles"]
     assert info["cycles"][1] < info["cycles"][0]
+
+
+def test_distributed_solve_many_device_native(monkeypatch):
+    """A (K, *grid) f32 jax-array batch must never touch the host
+    (df_split) — the lo parts and zero guesses materialize on device —
+    and must match the host-path batch on the f32-rounded rhs, delivered
+    as an f32 device array with the full pair in info['x_df']."""
+    import openmg_tpu.parallel.dist as dist_mod
+
+    shape = (32, 16)
+    cfg = SolverConfig(transfer="linear", residual_dtype="doublefloat",
+                       cycles=60, gridlevels=3, max_dense_coarse=4096)
+    solver = distributed_setup(shape, cfg, MeshConfig(n_devices=8))
+    rhs = np.stack([rhs_random(shape, seed=s) for s in (21, 22)])
+    bs_dev = jnp.asarray(rhs, dtype=jnp.float32)
+    x_host, info_host = solver.solve_many(np.asarray(bs_dev, np.float64))
+    monkeypatch.setattr(
+        dist_mod, "df_split",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("df_split called on the device-native batch path")
+        ),
+    )
+    xs_dev, info_dev = solver.solve_many(bs_dev)
+    assert isinstance(xs_dev, jax.Array) and xs_dev.dtype == jnp.float32
+    assert "x_df" in info_dev
+    assert info_dev["cycles"] == info_host["cycles"]
+    np.testing.assert_allclose(
+        np.asarray(xs_dev, dtype=np.float64)
+        + np.asarray(info_dev["x_df"][1], dtype=np.float64),
+        np.asarray(x_host),
+        rtol=1e-12, atol=1e-13,
+    )

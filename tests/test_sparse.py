@@ -53,6 +53,48 @@ def test_spmv_bsr():
         assert np.allclose(y, A @ x, atol=1e-12), f"blocksize {bs}"
 
 
+def test_bsr_blocked_band_pallas_path():
+    """Block-banded matrices (constant per-slot block-column delta) take
+    the slot-major layout and the gather-free Pallas SpMV
+    (ops/bsr.py — VERDICT r3 task 3).  Interpreter-mode pin against
+    scipy; tpu_smoke.py compiles the same kernel on-chip."""
+    from openmg_tpu.models.poisson import poisson
+    from openmg_tpu.ops import bsr as bsr_mod
+
+    A = poisson((16, 16, 16))  # n = 4096, block-banded at any square B
+    for B in (2, 4, 8):
+        M = bsr_from_scipy(A, blocksize=(B, B), dtype=np.float32)
+        assert M.slot_offsets is not None, f"banded packing at B={B}"
+        assert bsr_mod.supports(M), f"Pallas tiling at B={B}"
+        x = np.random.default_rng(B).standard_normal(A.shape[0])
+        y = np.asarray(spmv(M, np.asarray(x, np.float32)))
+        assert np.allclose(y, A @ x, atol=1e-3), f"B={B}"
+        # explicit kernel-path check (spmv may route anywhere)
+        y_k = np.asarray(bsr_mod.spmv_bsr(M, np.asarray(x, np.float32)))
+        assert np.allclose(y_k, A @ x, atol=1e-3)
+        # jnp banded fallback agrees too
+        y_j = np.asarray(bsr_mod.spmv_banded_jnp(M, np.asarray(x, np.float32)))
+        assert np.allclose(y_j, A @ x, atol=1e-3)
+        # diagonal on the slot-major layout
+        d = np.asarray(diagonal(M))
+        assert np.allclose(d, A.diagonal(), atol=1e-5)
+        # interchange round-trip drops nothing
+        assert abs(to_scipy(M) - A).max() < 1e-6
+
+
+def test_bsr_banded_f64_uses_jnp_fallback():
+    """f64 banded BSR (Pallas is f32-only) must still be gather-free
+    correct via the jnp fallback."""
+    from openmg_tpu.models.poisson import poisson
+
+    A = poisson((8, 8))
+    M = bsr_from_scipy(A, blocksize=(4, 4), dtype=np.float64)
+    assert M.slot_offsets is not None
+    x = np.random.default_rng(1).standard_normal(A.shape[0])
+    y = np.asarray(spmv(M, np.asarray(x)))
+    assert np.allclose(y, A @ x, atol=1e-12)
+
+
 def test_padding_is_inert():
     """Extra pad slots beyond the minimum must not change any result."""
     A = random_sparse(32, 32, 0.2, seed=6)
