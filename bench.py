@@ -120,10 +120,11 @@ def main():
     log(f"jacobi sweep: {dt * 1e3:.3f} ms, nnz={nnz}, {nnz_per_s:.3e} nnz/s")
 
     # --- supporting: 2D sweep throughput (BASELINE config 2 family) ------
-    # 256² itself is overhead-dominated (0.5 MB); 512² is the largest the
-    # lifted (1, ny, nx) kernel can hold as a single VMEM plane — larger
-    # 2D grids fall back to jnp (kernels.supports documents the limit)
-    shape2 = (512, 512) if on_tpu else (256, 256)
+    # 256² itself is overhead-dominated (0.5 MB); larger 2D grids run the
+    # folded-2D tier (ops/kernels.py::_fold2d_pick — the grid reshapes
+    # into z-slabs with a chunk-boundary repair, so the old 512²
+    # single-VMEM-plane cap is gone and the kernel pipelines deep slabs)
+    shape2 = (1024, 1024) if on_tpu else (256, 256)
     cfg2 = SolverConfig(smoother="rbgs", transfer="linear")
     solver2 = setup(shape2, cfg2)
     L2 = solver2.hierarchy.levels[0]

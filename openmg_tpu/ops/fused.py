@@ -49,6 +49,8 @@ __all__ = [
     "presmooth_residual_fused",
     "presmooth_restrict_fused",
     "prolong_smooth_fused",
+    "plan_presmooth_restrict",
+    "plan_prolong_smooth",
 ]
 
 # Mosaic scoped-VMEM cap for the fused kernels.  The default 16 MB rejects
@@ -385,6 +387,7 @@ def _prolong_in_kernel(ec_ext, p_taps, Py, Px):
 def _fused_kernel(
     vals_ref, *refs, offsets, stages, emit_residual, has_x,
     tz, depth, ny, nx, nz, regions, restrict_taps=None, prolong_taps=None,
+    halo=False,
 ):
     i = pl.program_id(0)
     E = tz + 2 * depth
@@ -407,13 +410,62 @@ def _fused_kernel(
         return jnp.concatenate(parts, axis=0)
 
     n_in = nb * (2 if has_x else 1)
-    gp = jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1), 0) + (i * tz - depth)
-    zvalid = jnp.logical_and(gp >= 0, gp < nz).astype(jnp.float32)
-    B = ext(refs[:nb]) * zvalid
-    if has_x:
-        X = ext(refs[nb: 2 * nb]) * zvalid
+    n_ec = (2 * (depth // 2) + 2) if prolong_taps is not None else 0
+
+    # Device-halo mode (row-partitioned blocks — parallel/fast.py): the
+    # trailing inputs are [open_flags(SMEM), Bh_lo, Bh_hi, (Xh_lo, Xh_hi),
+    # (Eh_lo, Eh_hi)] — depth-deep received slabs substituted at the
+    # block's z edges, with the valid-z range widened by `depth·open` so
+    # halo rows evolve through the stage cascade exactly like the
+    # neighbor device computes them, while true domain edges (open = 0,
+    # zero slabs) keep the Dirichlet truncation.  tz ≥ depth (enforced by
+    # the caller) guarantees only the first/last tile sees out-of-block
+    # rows, so the constant-position halo slabs align with the window.
+    if halo:
+        nh = 3 + (2 if has_x else 0) + (2 if prolong_taps is not None else 0)
+        hrefs = refs[n_in + n_ec: n_in + n_ec + nh]
+        refs = refs[: n_in + n_ec] + refs[n_in + n_ec + nh:]
+        open_ref, hrefs = hrefs[0], hrefs[1:]
+        bh_lo, bh_hi = hrefs[0], hrefs[1]
+        hrefs = hrefs[2:]
+        if has_x:
+            xh_lo, xh_hi = hrefs[0], hrefs[1]
+            hrefs = hrefs[2:]
+        if prolong_taps is not None:
+            eh_lo, eh_hi = hrefs[0], hrefs[1]
+        open_lo = open_ref[0, 0]
+        open_hi = open_ref[0, 1]
     else:
-        X = jnp.zeros((E, ny, nx), B.dtype)
+        open_lo = open_hi = None
+
+    gp = jax.lax.broadcasted_iota(jnp.int32, (E, 1, 1), 0) + (i * tz - depth)
+    inb = jnp.logical_and(gp >= 0, gp < nz).astype(jnp.float32)
+    if halo:
+        gpf = gp.astype(jnp.float32)
+        zvalid = jnp.logical_and(
+            gpf >= -depth * open_lo, gpf < nz + depth * open_hi
+        ).astype(jnp.float32)
+        m_lo = (gp < 0).astype(jnp.float32)
+        m_hi = (gp >= nz).astype(jnp.float32)
+
+        def with_halo(W, lo_ref, hi_ref):
+            pad = jnp.zeros((E - depth, ny, nx), W.dtype)
+            H_lo = jnp.concatenate([lo_ref[...], pad], axis=0)
+            H_hi = jnp.concatenate([pad, hi_ref[...]], axis=0)
+            return (W * inb + m_lo * H_lo + m_hi * H_hi) * zvalid
+
+        B = with_halo(ext(refs[:nb]), bh_lo, bh_hi)
+        if has_x:
+            X = with_halo(ext(refs[nb: 2 * nb]), xh_lo, xh_hi)
+        else:
+            X = jnp.zeros((E, ny, nx), B.dtype)
+    else:
+        zvalid = inb
+        B = ext(refs[:nb]) * zvalid
+        if has_x:
+            X = ext(refs[nb: 2 * nb]) * zvalid
+        else:
+            X = jnp.zeros((E, ny, nx), B.dtype)
 
     if prolong_taps is not None:
         # coarse-correction window: tile (tzc) + dc low + dc+1 high planes
@@ -425,11 +477,29 @@ def _fused_kernel(
         parts.append(ec_refs[0][...])
         parts.extend(ec_refs[1 + dc + k][...] for k in range(dc + 1))
         ec_ext = jnp.concatenate(parts, axis=0)  # (E/2 + 1, nyc, nxc)
+        Ec = ec_ext.shape[0]
+        nzc = (nz + 1) // 2
         gpc = jax.lax.broadcasted_iota(
-            jnp.int32, (ec_ext.shape[0], 1, 1), 0
+            jnp.int32, (Ec, 1, 1), 0
         ) + (i * tzc - dc)
-        cvalid = jnp.logical_and(gpc >= 0, gpc < (nz + 1) // 2)
-        ec_ext = ec_ext * cvalid.astype(ec_ext.dtype)
+        inbc = jnp.logical_and(gpc >= 0, gpc < nzc).astype(ec_ext.dtype)
+        if halo:
+            gpcf = gpc.astype(jnp.float32)
+            cvalid = jnp.logical_and(
+                gpcf >= -dc * open_lo, gpcf < nzc + (dc + 1) * open_hi
+            ).astype(ec_ext.dtype)
+            nyc, nxc = ec_ext.shape[1], ec_ext.shape[2]
+            pad_lo = jnp.zeros((Ec - dc, nyc, nxc), ec_ext.dtype)
+            pad_hi = jnp.zeros((dc + tzc, nyc, nxc), ec_ext.dtype)
+            H_ec_lo = jnp.concatenate([eh_lo[...], pad_lo], axis=0)
+            H_ec_hi = jnp.concatenate([pad_hi, eh_hi[...]], axis=0)
+            mc_lo = (gpc < 0).astype(ec_ext.dtype)
+            mc_hi = (gpc >= nzc).astype(ec_ext.dtype)
+            ec_ext = (
+                ec_ext * inbc + mc_lo * H_ec_lo + mc_hi * H_ec_hi
+            ) * cvalid
+        else:
+            ec_ext = ec_ext * inbc
         X = (X + _prolong_in_kernel(ec_ext, prolong_taps, Py_ref[...],
                                     Px_ref[...])) * zvalid
 
@@ -477,6 +547,7 @@ def _fused_kernel(
 def fused_stages_const_3d(
     values, offsets, b, x, stages, emit_residual: bool = False, tz=None,
     corner=None, restrict_transfer=None, ec=None, prolong_transfer=None,
+    halos=None,
 ):
     """Run ``stages`` half-sweeps (and optionally the final residual) for a
     constant 3D stencil in one Pallas pass.  ``x=None`` means a zero
@@ -494,7 +565,13 @@ def fused_stages_const_3d(
     residual.  ``ec`` + ``prolong_transfer``: start from
     ``x + P ec`` (coarse-correction prolongation fused in).  Both require
     even grid dims; depth is padded to even when ``ec`` is present so the
-    coarse window stays parity-aligned."""
+    coarse window stays parity-aligned.
+
+    ``halos`` (row-partitioned local blocks — parallel/fast.py): a tuple
+    ``(open_flags, (b_lo, b_hi), x_pair_or_None, ec_pair_or_None)`` of
+    received depth-deep halo slabs (``halo_slabs``) consumed in-kernel at
+    the block's z edges.  Not supported together with ``corner`` (the
+    region fix-ups key on global z rows)."""
     offsets = tuple(tuple(o) for o in offsets)
     stages = tuple((str(k), (float(p) if k == "jacobi" else int(p)))
                    for k, p in stages)
@@ -506,9 +583,17 @@ def fused_stages_const_3d(
         depth += 1
     n_out = 2 if emit_residual else 1
     regions = tuple(tuple(R) for R in corner[0]) if corner else ()
+    if halos is not None and regions:
+        raise ValueError("device halos unsupported on cornered levels")
     min_tz = depth + 1 if regions else 1
     if restrict_transfer is not None or ec is not None:
         min_tz = max(min_tz, 2)
+    if halos is not None:
+        # only the first/last tile may see out-of-block rows, so the
+        # constant-position halo slabs align with the extended window
+        min_tz = max(min_tz, depth)
+        if ec is not None:
+            min_tz = max(min_tz, 2 * (depth // 2 + 1))
     if tz is None:
         tz = _fit_tz(
             b.shape, depth, has_x, n_out, min_tz=min_tz, k=len(offsets),
@@ -622,6 +707,36 @@ def fused_stages_const_3d(
         )
         operands += [ec] * (2 * dc + 2)
 
+    if halos is not None:
+        open_fl, b_pair, x_pair, ec_pair = halos
+        if int(b_pair[0].shape[0]) != depth:
+            raise ValueError(
+                f"b halo slabs must be depth={depth} planes, got "
+                f"{b_pair[0].shape[0]} (use plan_* to size the exchange)"
+            )
+        if ec is not None and (
+            int(ec_pair[0].shape[0]) != depth // 2
+            or int(ec_pair[1].shape[0]) != depth // 2 + 1
+        ):
+            raise ValueError("ec halo slabs must be (depth//2, depth//2+1)")
+        in_specs.append(
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(open_fl)
+
+        def slab_spec(a):
+            return pl.BlockSpec(
+                tuple(a.shape), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+
+        for pair, needed in ((b_pair, True), (x_pair, has_x),
+                             (ec_pair, ec is not None)):
+            if needed:
+                if pair is None:
+                    raise ValueError("missing halo slabs for an input")
+                in_specs += [slab_spec(pair[0]), slab_spec(pair[1])]
+                operands += [pair[0], pair[1]]
+
     if restrict_transfer is not None:
         out_specs = (
             tile,
@@ -655,6 +770,7 @@ def fused_stages_const_3d(
         regions=regions,
         restrict_taps=restrict_taps,
         prolong_taps=prolong_taps,
+        halo=halos is not None,
     )
     interpret = jax.default_backend() != "tpu"
     extra = (
@@ -745,8 +861,30 @@ def _transfer_fusable(shape, transfer) -> bool:
     )
 
 
+def plan_presmooth_restrict(
+    name, n_offsets: int, shape, iterations: int, omega: float, transfer,
+    has_x: bool = False, halo: bool = False,
+):
+    """Static feasibility check for :func:`presmooth_restrict_fused` on a
+    plain (non-cornered) constant level: returns the halo/window
+    ``depth`` when the fusion applies at ``shape``, else None.  The
+    distributed tier calls this BEFORE posting the halo exchange
+    (``halo=True`` adds the tz ≥ depth alignment constraint)."""
+    stages = stages_for(name, iterations, omega)
+    if stages is None or not stages or not _transfer_fusable(shape, transfer):
+        return None
+    depth = len(stages) + 2
+    min_tz = max(2, depth if halo else 2)
+    if depth > MAX_CHUNK + 1 or _fit_tz(
+        shape, depth, has_x, 2, min_tz=min_tz, k=n_offsets,
+        fudge=1.55 if has_x else 1.0,
+    ) is None:
+        return None
+    return depth
+
+
 def presmooth_restrict_fused(
-    name, op, b, x, iterations: int, omega: float, transfer
+    name, op, b, x, iterations: int, omega: float, transfer, halos=None
 ):
     """Pre-smoothing fused with the level residual AND its restriction:
     returns ``(x, bc)`` where ``bc = R (b − A x)`` is the next level's rhs,
@@ -762,8 +900,12 @@ def presmooth_restrict_fused(
     ):
         return None
     corner = _corner_info(op)
+    if corner and halos is not None:
+        return None
     depth = len(stages) + 2
     min_tz = max(2, depth + 1 if corner else 2)
+    if halos is not None:
+        min_tz = max(min_tz, depth)
     if depth > MAX_CHUNK + 1 or _fit_tz(
         b.shape, depth, x is not None, 2, min_tz=min_tz, k=len(op.offsets),
         fudge=1.55 if x is not None else 1.0,
@@ -771,12 +913,34 @@ def presmooth_restrict_fused(
         return None
     return fused_stages_const_3d(
         op.values, op.offsets, b, x, stages, emit_residual=True,
-        corner=corner, restrict_transfer=transfer,
+        corner=corner, restrict_transfer=transfer, halos=halos,
     )
 
 
+def plan_prolong_smooth(
+    name, n_offsets: int, shape, iterations: int, omega: float, transfer,
+    halo: bool = False,
+):
+    """Static feasibility check for :func:`prolong_smooth_fused` on a
+    plain constant level: returns the ``depth`` (parity-padded) when the
+    fusion applies, else None — the caller sizes the (b, x) halo
+    exchanges at ``depth`` and the ec exchange at (depth//2,
+    depth//2+1)."""
+    stages = stages_for(name, iterations, omega)
+    if stages is None or not stages or not _transfer_fusable(shape, transfer):
+        return None
+    depth = len(stages)
+    depth += depth % 2
+    min_tz = max(2, depth, 2 * (depth // 2 + 1)) if halo else 2
+    if depth > MAX_CHUNK or _fit_tz(
+        shape, depth, True, 1, min_tz=min_tz, k=n_offsets
+    ) is None:
+        return None
+    return depth
+
+
 def prolong_smooth_fused(
-    name, op, b, x, ec, iterations: int, omega: float, transfer
+    name, op, b, x, ec, iterations: int, omega: float, transfer, halos=None
 ):
     """Coarse-correction prolongation + add fused into post-smoothing:
     returns ``smooth(b, x + P ec)`` without materializing ``P ec``, or
@@ -791,14 +955,18 @@ def prolong_smooth_fused(
     ):
         return None
     corner = _corner_info(op)
+    if corner and halos is not None:
+        return None
     depth = len(stages)
     depth += depth % 2  # coarse window parity alignment
     min_tz = max(2, depth + 1 if corner else 2)
+    if halos is not None:
+        min_tz = max(min_tz, depth, 2 * (depth // 2 + 1))
     if depth > MAX_CHUNK or _fit_tz(
         b.shape, depth, True, 1, min_tz=min_tz, k=len(op.offsets)
     ) is None:
         return None
     return fused_stages_const_3d(
         op.values, op.offsets, b, x, stages,
-        corner=corner, ec=ec, prolong_transfer=transfer,
+        corner=corner, ec=ec, prolong_transfer=transfer, halos=halos,
     )

@@ -303,23 +303,53 @@ def _dist_v_cycle(
                 up = _prolong_axis(up, a, transfer.p_taps)
         return up
 
-    def vc(level, b, x):
+    def deep_fusable(level) -> bool:
+        # partitioned const 3D level whose coarser level is also
+        # partitioned with all three axes coarsening — the deep-fusion
+        # tier (ops/fused.py with device halos) applies; cornered /
+        # varying / redistribution-boundary levels use the per-sweep tier
+        return (
+            overlap
+            and plan[level]
+            and plan[level + 1]
+            and kinds[level] == "const"
+            and coarsened_axes[level] == (0, 1, 2)
+        )
+
+    def vc(level, b, x, x_zero=False):
         if level == num_levels - 1:
             xc = (coarse_inv @ b.reshape(-1)).reshape(b.shape)
             return xc
-        x = smooth_at(level, b, x, pre)
-        rr = residual_at(level, b, x)
-        bc = restrict_at(level, rr)
+        bc = None
+        if pre > 0 and deep_fusable(level):
+            out = fast.presmooth_restrict_part(
+                smoother, op_at(level, b.shape), b,
+                None if x_zero else x, pre, omega, transfer,
+                axis_name, n_dev,
+            )
+            if out is not None:
+                x, bc = out
+        if bc is None:
+            x = smooth_at(level, b, x, pre)
+            rr = residual_at(level, b, x)
+            bc = restrict_at(level, rr)
         ec = jnp.zeros_like(bc)
         visits = 1 if level == num_levels - 2 else gamma
-        for _ in range(visits):
-            ec = vc(level + 1, bc, ec)
+        for v in range(visits):
+            ec = vc(level + 1, bc, ec, x_zero=(v == 0))
+        if post > 0 and deep_fusable(level):
+            y = fast.prolong_smooth_part(
+                smoother, op_at(level, b.shape), b, x, ec, post, omega,
+                transfer, axis_name, n_dev,
+            )
+            if y is not None:
+                return y
         x = x + prolong_at(level, ec)
         x = smooth_at(level, b, x, post)
         return x
 
     if not fmg:
-        return vc(0, r, jnp.zeros_like(r))
+        return vc(0, r, jnp.zeros_like(r), x_zero=True)
 
     # Full multigrid (distributed): restrict the rhs to every level with
     # the same halo-tap/redistribution transfers the V-cycle uses, solve
@@ -332,7 +362,7 @@ def _dist_v_cycle(
     x = (coarse_inv @ bs[-1].reshape(-1)).reshape(bs[-1].shape)
     for level in range(num_levels - 2, -1, -1):
         x = prolong_at(level, x)
-        x = vc(level, bs[level], x)
+        x = vc(level, bs[level], x, x_zero=False)
     return x
 
 

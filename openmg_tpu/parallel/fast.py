@@ -48,6 +48,8 @@ from openmg_tpu.parallel.halo import (
     _plane_shift,
     apply_overlapped,
     halo_planes,
+    halo_slabs,
+    open_flags,
 )
 
 __all__ = [
@@ -56,6 +58,8 @@ __all__ = [
     "residual_part",
     "smooth_part_vary",
     "residual_part_vary",
+    "presmooth_restrict_part",
+    "prolong_smooth_part",
 ]
 
 
@@ -458,3 +462,74 @@ def smooth_part_vary(
 # fused kernel now takes the (x_hi, x_lo, e) halo planes directly and
 # derives the updated halo x' in-kernel —
 # kernels.df_update_residual_const_3d(halos=...).)
+
+
+# ---------------------------------------------------------------------------
+# deep-fusion tier on partitioned levels (ops/fused.py with device halos)
+# ---------------------------------------------------------------------------
+
+
+def _fusable_const(op, b) -> bool:
+    return (
+        b.ndim == 3
+        and b.dtype == jnp.float32
+        and isinstance(op, StencilOperator)
+        and op.is_constant
+    )
+
+
+def presmooth_restrict_part(
+    name, op, b, x, iterations, omega, transfer, axis_name, n_dev: int
+):
+    """Partitioned deep fusion: zero/x-start pre-smoothing + residual +
+    restriction in ONE Pallas pass per local block, with depth-deep halo
+    slabs of ``b`` (and ``x``) consumed in-kernel (ops/fused.py
+    ``halos=``).  Returns ``(x, bc_local)`` or None.  Both this level and
+    the next must be row-partitioned (the emitted ``bc`` is the local
+    coarse block — axis-0 coarsening keeps device alignment because
+    local extents are even)."""
+    from openmg_tpu.ops import fused
+
+    if not _fusable_const(op, b):
+        return None
+    depth = fused.plan_presmooth_restrict(
+        name, len(op.offsets), b.shape, iterations, omega, transfer,
+        has_x=x is not None, halo=True,
+    )
+    if depth is None:
+        return None
+    flags = open_flags(axis_name, n_dev)
+    b_pair = halo_slabs(b, axis_name, n_dev, depth)
+    x_pair = halo_slabs(x, axis_name, n_dev, depth) if x is not None else None
+    return fused.presmooth_restrict_fused(
+        name, op, b, x, iterations, omega, transfer,
+        halos=(flags, b_pair, x_pair, None),
+    )
+
+
+def prolong_smooth_part(
+    name, op, b, x, ec, iterations, omega, transfer, axis_name, n_dev: int
+):
+    """Partitioned deep fusion: coarse-correction prolongation + add +
+    post-smoothing in ONE Pallas pass per local block (halo slabs of b,
+    x, and the coarse ec in-kernel).  Returns the smoothed ``x`` or
+    None."""
+    from openmg_tpu.ops import fused
+
+    if not _fusable_const(op, b):
+        return None
+    depth = fused.plan_prolong_smooth(
+        name, len(op.offsets), b.shape, iterations, omega, transfer,
+        halo=True,
+    )
+    if depth is None:
+        return None
+    flags = open_flags(axis_name, n_dev)
+    b_pair = halo_slabs(b, axis_name, n_dev, depth)
+    x_pair = halo_slabs(x, axis_name, n_dev, depth)
+    dc = depth // 2
+    ec_pair = halo_slabs(ec, axis_name, n_dev, dc, dc + 1)
+    return fused.prolong_smooth_fused(
+        name, op, b, x, ec, iterations, omega, transfer,
+        halos=(flags, b_pair, x_pair, ec_pair),
+    )

@@ -28,6 +28,8 @@ from jax import lax
 __all__ = [
     "halo_exchange",
     "halo_planes",
+    "halo_slabs",
+    "open_flags",
     "shifted_ext",
     "apply_ext",
     "apply_overlapped",
@@ -70,6 +72,45 @@ def halo_planes(x_local, axis_name: str, n_dev: int):
     lower = jnp.where(idx == 0, jnp.zeros_like(lower), lower)
     upper = jnp.where(idx == n_dev - 1, jnp.zeros_like(upper), upper)
     return lower, upper
+
+
+def halo_slabs(x_local, axis_name: str, n_dev: int, lo_width: int,
+               hi_width: int | None = None):
+    """Multi-plane halo exchange: ``(lower, upper)`` slabs of
+    ``lo_width`` / ``hi_width`` planes (zeros at the global domain
+    edges).  The deep-fusion tier's S-stage kernels consume S-deep halos
+    in-kernel (ops/fused.py ``halos=``); the per-sweep kernels use the
+    width-1 :func:`halo_planes`.  Requires ``local ≥ width`` (the fused
+    plan's ``tz ≥ depth`` constraint guarantees it)."""
+    if hi_width is None:
+        hi_width = lo_width
+    if n_dev == 1:
+        zlo = jnp.zeros((lo_width,) + x_local.shape[1:], x_local.dtype)
+        zhi = jnp.zeros((hi_width,) + x_local.shape[1:], x_local.dtype)
+        return zlo, zhi
+    idx = lax.axis_index(axis_name)
+    lower = lax.ppermute(
+        x_local[-lo_width:], axis_name, _ring_perm(n_dev, 1)
+    )
+    upper = lax.ppermute(
+        x_local[:hi_width], axis_name, _ring_perm(n_dev, -1)
+    )
+    lower = jnp.where(idx == 0, jnp.zeros_like(lower), lower)
+    upper = jnp.where(idx == n_dev - 1, jnp.zeros_like(upper), upper)
+    return lower, upper
+
+
+def open_flags(axis_name: str, n_dev: int):
+    """(1, 2) f32 ``[open_lo, open_hi]``: does this device's block have a
+    live neighbor below/above?  Consumed in SMEM by the halo'd fused
+    kernels to widen the valid-z range at open edges while keeping the
+    Dirichlet zero truncation at true domain edges."""
+    if n_dev == 1:
+        return jnp.zeros((1, 2), jnp.float32)
+    idx = lax.axis_index(axis_name)
+    lo = (idx > 0).astype(jnp.float32)
+    hi = (idx < n_dev - 1).astype(jnp.float32)
+    return jnp.stack([lo, hi]).reshape(1, 2)
 
 
 def _plane_shift(plane, off):

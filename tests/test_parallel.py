@@ -197,6 +197,69 @@ def test_distributed_matches_single_device(shape, transfer, smoother):
     )
 
 
+def test_distributed_deep_fusion_matches_single():
+    """(64, 16, 128): the partitioned deep-fusion tier (presmooth +
+    residual + restriction in one Pallas pass and prolong + postsmooth in
+    one pass, device halo slabs in-kernel — ops/fused.py ``halos=``)
+    engages on the local (8, 16, 128) blocks and must reproduce the
+    single-device solve."""
+    from openmg_tpu.ops import fused
+    from openmg_tpu.parallel import fast
+
+    shape = (64, 16, 128)
+    cfg = SolverConfig(
+        smoother="rbgs",
+        transfer="linear",
+        residual_dtype="doublefloat",
+        cycles=60,
+        gridlevels=3,
+        max_dense_coarse=4096,
+        threshold=1e-9,
+    )
+    b = rhs_random(shape, seed=15)
+    single = setup(shape, cfg)
+    x1, info1 = single.solve(b)
+    # the deep-fusion plans must trigger at the local block shape
+    local = (shape[0] // 8,) + shape[1:]
+    t = single.hierarchy.transfer
+    assert fused.plan_presmooth_restrict("rbgs", 7, local, 2, 2 / 3, t,
+                                         halo=True) is not None
+    assert fused.plan_prolong_smooth("rbgs", 7, local, 2, 2 / 3, t,
+                                     halo=True) is not None
+    calls = {"pre": 0, "post": 0}
+    orig_pre = fast.presmooth_restrict_part
+    orig_post = fast.prolong_smooth_part
+
+    def count_pre(*a, **k):
+        out = orig_pre(*a, **k)
+        if out is not None:
+            calls["pre"] += 1
+        return out
+
+    def count_post(*a, **k):
+        out = orig_post(*a, **k)
+        if out is not None:
+            calls["post"] += 1
+        return out
+
+    fast.presmooth_restrict_part = count_pre
+    fast.prolong_smooth_part = count_post
+    try:
+        dist = DistributedSolver(
+            single.hierarchy, cfg, MeshConfig(n_devices=8)
+        )
+        x8, info8 = dist.solve(b)
+    finally:
+        fast.presmooth_restrict_part = orig_pre
+        fast.prolong_smooth_part = orig_post
+    assert calls["pre"] > 0 and calls["post"] > 0, calls
+    assert info8["converged"] == info1["converged"]
+    assert abs(info8["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x8), np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
+
+
 def test_distributed_vary_kernel_tier():
     """(32, 8, 256) diffusion: partitioned varying-coefficient levels run
     the vary Pallas kernels inside shard_map (the local block (4, 8, 256)
