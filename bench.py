@@ -85,8 +85,23 @@ def main():
         cycles=60,
     )
     solver = setup(shape, cfg)
-    log(f"setup: {time.perf_counter() - t0:.1f}s "
-        f"levels={[s[0] for s in solver.hierarchy.stats]}")
+    t_setup = time.perf_counter() - t0
+    # Setup-phase breakdown (r3 saw 1.3 s in one session and 225 s in
+    # another with no explanation): the structured hierarchy build is
+    # O(K) host stencil algebra; everything slow is one-time device work
+    # (coarse-inverse compile, relay round-trips).  A REPEAT setup reuses
+    # the compiled programs, so repeat ≈ steady host cost and
+    # (first − repeat) ≈ one-time backend-compile/relay latency.  If the
+    # repeat itself is ever slow, a per-hierarchy device program snuck
+    # into setup — that would be a real regression, not relay noise.
+    t0 = time.perf_counter()
+    setup(shape, cfg)
+    t_setup2 = time.perf_counter() - t0
+    log(
+        f"setup: {t_setup:.1f}s (repeat {t_setup2:.1f}s — difference is "
+        f"one-time backend compile + relay latency) "
+        f"levels={[s[0] for s in solver.hierarchy.stats]}"
+    )
 
     # --- primary metric: fused Jacobi smoother sweep throughput ----------
     # NB: the operator MUST be a jit *argument* — closing over the coeffs
@@ -166,9 +181,18 @@ def main():
         xsk, info_k = solver_k.solve_many(bbk)
         float(jnp.sum(xsk))
         t_batch = time.perf_counter() - t0
+        # scalar comparator IN THE SAME PROCESS (the chip-regime lottery
+        # makes cross-session per-rhs comparisons meaningless)
+        b1 = bbk[0]
+        solver_k.solve(b1)  # compile/warm
+        t0 = time.perf_counter()
+        solver_k.solve(b1)
+        t_scalar = time.perf_counter() - t0
         log(
             f"solve_many {shape_k} K={K}: {t_batch * 1e3:.1f} ms total, "
-            f"{t_batch / K * 1e3:.2f} ms/rhs, "
+            f"{t_batch / K * 1e3:.2f} ms/rhs vs scalar "
+            f"{t_scalar * 1e3:.2f} ms/solve (batched advantage "
+            f"{t_scalar * K / t_batch:.1f}x), "
             f"converged={all(info_k['converged'])}"
         )
     except Exception as e:  # pragma: no cover

@@ -96,6 +96,14 @@ def run_weak_scaling(
             "smoother_nnz_per_s_per_device": nnz_per_s_dev,
             "weak_scaling_efficiency": nnz_per_s_dev / base_nnz_per_s,
         }
+        if n > 1:
+            # static halo-bytes/HBM-bytes accounting + modeled efficiency
+            # bounds for a real pod (the measured fake-CPU efficiency
+            # above is contention noise, not scaling signal —
+            # parallel/model.py)
+            from openmg_tpu.parallel.model import comm_model
+
+            rec["comm_model"] = comm_model(solver)
         records.append(rec)
         if on_record is not None:
             on_record(rec)

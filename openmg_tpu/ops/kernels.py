@@ -105,6 +105,17 @@ def _lift2d(offsets):
 # (j + ix) parity and the kernel runs with zstride = 0.
 
 
+def _use_fold2d(offsets, shape) -> bool:
+    """Folded-2D engages only where the single-plane lift cannot (the
+    lift is FASTER when its one VMEM plane fits — measured on-chip:
+    512² lift 0.17 ms/sweep vs fold 0.45 ms; the fold's value is above
+    the lift's ~512² plane cap, where it reaches 5.1e10 nnz/s at
+    2048²)."""
+    if _fold2d_pick(offsets, shape) is None:
+        return False
+    return not supports(_lift2d(offsets), (1,) + tuple(shape))
+
+
 def _fold2d_pick(offsets, shape):
     """Choose the fold ``(ry, shape3)`` for a 2D grid, or None.
 
@@ -402,7 +413,7 @@ def residual_const_3d(values, offsets, b, x):
     if x.ndim == 2:
         offsets = tuple(tuple(o) for o in offsets)
         fold = _fold2d_pick(offsets, x.shape)
-        if fold is not None:
+        if fold is not None and _use_fold2d(offsets, x.shape):
             return _half_sweep_fold2d(
                 values, offsets, b, x, mode="residual", omega=0.0,
                 color=0, fold=fold,
@@ -421,7 +432,7 @@ def jacobi_const_3d(values, offsets, b, x, iterations: int, omega: float):
     if x.ndim == 2:
         offsets = tuple(tuple(o) for o in offsets)
         fold = _fold2d_pick(offsets, x.shape)
-        if fold is not None:
+        if fold is not None and _use_fold2d(offsets, x.shape):
             for _ in range(iterations):
                 x = _half_sweep_fold2d(
                     values, offsets, b, x, mode="jacobi", omega=omega,
@@ -445,7 +456,7 @@ def rbgs_const_3d(values, offsets, b, x, iterations: int):
     if x.ndim == 2:
         offsets = tuple(tuple(o) for o in offsets)
         fold = _fold2d_pick(offsets, x.shape)
-        if fold is not None:
+        if fold is not None and _use_fold2d(offsets, x.shape):
             for _ in range(iterations):
                 for color in (0, 1):
                     x = _half_sweep_fold2d(
@@ -472,7 +483,7 @@ def rbgs_half_sweep_const_3d(values, offsets, b, x, color: int):
     if x.ndim == 2:
         offsets = tuple(tuple(o) for o in offsets)
         fold = _fold2d_pick(offsets, x.shape)
-        if fold is not None:
+        if fold is not None and _use_fold2d(offsets, x.shape):
             return _half_sweep_fold2d(
                 values, offsets, b, x, mode="rbgs", omega=0.0,
                 color=color, fold=fold,

@@ -1,0 +1,176 @@
+"""Static communication/compute model for the distributed V-cycle
+(SURVEY.md §2B T13; BASELINE weak-scaling north star).
+
+This environment has ONE real chip, so measured multi-device numbers come
+from fake CPU devices and carry CPU-contention noise, not scaling signal
+(WEAKSCALE_r03 recorded 0.10 "efficiency" at 8 devices for exactly that
+reason).  What CAN be computed exactly is the per-cycle halo traffic and
+HBM traffic of the compiled program — both are static functions of the
+partition plan, the level shapes, and the dispatch rules in
+``parallel/dist.py``/``parallel/fast.py``.  From those, a roofline-style
+efficiency bound for a real pod:
+
+    t_comp  = hbm_bytes / hbm_bw          (the solve is bandwidth-bound)
+    t_comm  = halo_bytes / ici_bw         (neighbor ppermutes ride ICI)
+    bound_overlap    = t_comp / max(t_comp, t_comm)
+    bound_no_overlap = t_comp / (t_comp + t_comm)
+
+The model intentionally over-counts communication slightly (it charges
+every exchange serially per device) and under-counts compute constants,
+so the bounds are conservative.  Default bandwidths: HBM 819 GB/s
+(measured on this v5e by bench.py's stream test); ICI 4.5e10 B/s per
+direction is a placeholder for one v5e ICI link — pass your pod's number.
+"""
+
+from __future__ import annotations
+
+__all__ = ["comm_model"]
+
+
+def comm_model(
+    solver,
+    ici_bytes_per_s: float = 4.5e10,
+    hbm_bytes_per_s: float = 8.19e11,
+    cycles: int = 1,
+):
+    """Per-V-cycle halo-bytes / HBM-bytes accounting for a
+    :class:`~openmg_tpu.parallel.dist.DistributedSolver`, plus modeled
+    weak-scaling efficiency bounds.
+
+    Mirrors the dispatch rules: deep-fused const levels exchange
+    depth-deep slabs once per fused pass; per-sweep levels exchange one
+    plane pair per half-sweep/residual/transfer; the
+    partitioned→replicated boundary all-gathers the restricted rhs; the
+    fine level's fused df outer step exchanges (x_hi, x_lo, e) plane
+    pairs.  All quantities are per device, per cycle.
+    """
+    from openmg_tpu.ops import fused
+
+    cfg = solver.config
+    plan = solver.plan
+    kinds = solver.kinds
+    stats = solver.stats  # per level: (shape, ..., nnz)
+    n_dev = solver.n_dev
+    pre, post = cfg.pre_iterations, cfg.post_iterations
+    half_per_sweep = 2 if cfg.smoother == "rbgs" else 1
+    per_level = []
+    halo_bytes = 0.0
+    hbm_bytes = 0.0
+    num_levels = len(plan)
+    for lvl in range(num_levels):
+        shape = tuple(stats[lvl][0])
+        level_elems = 1
+        for s in shape:
+            level_elems *= int(s)
+        local_elems = level_elems // (n_dev if plan[lvl] else 1)
+        local_bytes = 4 * local_elems
+        plane = 4 * (level_elems // int(shape[0]))  # one z-plane, f32
+        lv_halo = 0.0
+        lv_hbm = 0.0
+        last = lvl == num_levels - 1
+        if last:
+            # replicated dense coarse solve: tiny, identical everywhere
+            lv_hbm += 2 * local_bytes
+            per_level.append(
+                {"level": lvl, "shape": list(shape), "partitioned": False,
+                 "halo_bytes": 0.0, "hbm_bytes": lv_hbm}
+            )
+            hbm_bytes += lv_hbm
+            continue
+
+        deep = False
+        if plan[lvl] and lvl + 1 < num_levels:
+            local_shape = (int(shape[0]) // n_dev,) + tuple(
+                int(s) for s in shape[1:]
+            )
+            deep = (
+                plan[lvl + 1]
+                and kinds[lvl] == "const"
+                and len(shape) == 3
+                and solver.coarsened_axes[lvl] == (0, 1, 2)
+                and fused.plan_presmooth_restrict(
+                    cfg.smoother, len(solver.offsets_per_level[lvl]),
+                    local_shape, pre, cfg.omega, solver.transfer, halo=True,
+                ) is not None
+                and fused.plan_prolong_smooth(
+                    cfg.smoother, len(solver.offsets_per_level[lvl]),
+                    local_shape, post, cfg.omega, solver.transfer, halo=True,
+                ) is not None
+            )
+        if deep:
+            d_pre = fused.plan_presmooth_restrict(
+                cfg.smoother, len(solver.offsets_per_level[lvl]),
+                local_shape, pre, cfg.omega, solver.transfer, halo=True,
+            )
+            d_post = fused.plan_prolong_smooth(
+                cfg.smoother, len(solver.offsets_per_level[lvl]),
+                local_shape, post, cfg.omega, solver.transfer, halo=True,
+            )
+            dc = d_post // 2
+            # presmooth+restrict: b slabs both ways (x is zero-start)
+            lv_halo += 2 * d_pre * plane
+            # prolong+post: b + x slabs, plus the coarse ec slabs
+            lv_halo += 2 * d_post * plane * 2
+            lv_halo += (2 * dc + 1) * (plane / 4)
+            # HBM: fused pre pass (b in, x+bc out) + fused post pass
+            # (b, x, ec in; x out) ≈ 2.2 + 3.2 local passes, plus the
+            # redundant halo re-reads (small) — call it 6 passes/cycle
+            lv_hbm += 6 * local_bytes
+        elif plan[lvl]:
+            halfsweeps = (pre + post) * half_per_sweep
+            lv_halo += 2 * plane * halfsweeps  # per-sweep kernel halos
+            lv_halo += 2 * plane  # residual
+            lv_halo += 2 * plane  # restrict halo_exchange
+            if lvl + 1 < num_levels and plan[lvl + 1]:
+                lv_halo += 2 * (plane / 4)  # prolong (coarse planes)
+            # per-half-sweep kernels stream ~3 arrays/pass + residual +
+            # transfers
+            lv_hbm += (3 * halfsweeps + 3 + 2.6) * local_bytes
+        else:
+            lv_hbm += (
+                3 * (pre + post) * half_per_sweep + 3 + 2.6
+            ) * local_bytes
+        # partitioned→replicated redistribution: all_gather of the
+        # restricted rhs (ring: each device sends/receives the full
+        # coarse grid minus its own share)
+        if lvl + 1 < num_levels and plan[lvl] and not plan[lvl + 1]:
+            coarse_elems = 1
+            for s in stats[lvl + 1][0]:
+                coarse_elems *= int(s)
+            lv_halo += 4 * coarse_elems * (n_dev - 1) / n_dev
+        per_level.append(
+            {"level": lvl, "shape": list(shape), "partitioned": bool(plan[lvl]),
+             "deep_fused": deep, "halo_bytes": lv_halo, "hbm_bytes": lv_hbm}
+        )
+        halo_bytes += lv_halo
+        hbm_bytes += lv_hbm
+
+    # fine-level outer defect-correction step (fused df kernel): 8-stream
+    # pass + (x_hi, x_lo, e) plane pairs
+    fine_shape = tuple(stats[0][0])
+    fine_elems = 1
+    for s in fine_shape:
+        fine_elems *= int(s)
+    fine_local = 4 * fine_elems // (n_dev if plan[0] else 1)
+    hbm_bytes += 8 * fine_local
+    if plan[0]:
+        halo_bytes += 6 * 4 * (fine_elems // int(fine_shape[0]))
+
+    t_comp = cycles * hbm_bytes / hbm_bytes_per_s
+    t_comm = cycles * halo_bytes / ici_bytes_per_s
+    return {
+        "per_level": per_level,
+        "halo_bytes_per_cycle": halo_bytes,
+        "hbm_bytes_per_cycle": hbm_bytes,
+        "comm_fraction_no_overlap": (
+            t_comm / (t_comp + t_comm) if t_comp + t_comm else 0.0
+        ),
+        "efficiency_bound_overlap": (
+            t_comp / max(t_comp, t_comm) if t_comp else 1.0
+        ),
+        "efficiency_bound_no_overlap": (
+            t_comp / (t_comp + t_comm) if t_comp + t_comm else 1.0
+        ),
+        "assumed_hbm_bytes_per_s": hbm_bytes_per_s,
+        "assumed_ici_bytes_per_s": ici_bytes_per_s,
+    }

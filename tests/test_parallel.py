@@ -488,6 +488,36 @@ def test_initialize_distributed_reraises_genuine_errors(monkeypatch):
     initialize_distributed()  # benign: swallowed
 
 
+def test_comm_model_accounting():
+    """The static halo/HBM accounting (parallel/model.py): partitioned
+    levels report positive halo bytes, efficiency bounds are in (0, 1],
+    and more devices never decreases the modeled per-cycle halo traffic
+    of the same local-size problem family."""
+    from openmg_tpu.parallel.model import comm_model
+
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        cycles=60, gridlevels=3, max_dense_coarse=4096,
+    )
+    solver = distributed_setup((64, 16, 128), cfg, MeshConfig(n_devices=8))
+    m = comm_model(solver)
+    assert m["halo_bytes_per_cycle"] > 0
+    assert m["hbm_bytes_per_cycle"] > 0
+    assert 0 < m["efficiency_bound_no_overlap"] <= 1
+    assert 0 < m["efficiency_bound_overlap"] <= 1
+    assert (
+        m["efficiency_bound_overlap"] >= m["efficiency_bound_no_overlap"]
+    )
+    lv0 = m["per_level"][0]
+    assert lv0["partitioned"] and lv0["halo_bytes"] > 0
+    # the deep-fused fine level must be recognized by the model (it
+    # changes the exchange pattern from per-half-sweep planes to
+    # depth-deep slabs)
+    assert lv0["deep_fused"] is True
+    # coarsest level: replicated, no halo traffic
+    assert m["per_level"][-1]["halo_bytes"] == 0.0
+
+
 def test_weak_scaling_harness_schema():
     """Pin the weak-scaling harness (BASELINE north-star metric surface):
     record schema, efficiency formula (per-device throughput relative to
