@@ -176,7 +176,12 @@ def main():
             (K,) + (1,) * len(shape_k)
         )
         bbk = jnp.asarray(Bs, jnp.float32)
-        solver_k.solve_many(bbk)  # compile
+        # warm BOTH the solve program and the jnp.sum sync program — the
+        # relay lazily backend-compiles every new program shape, and an
+        # unwarmed batch-sum sync once cost 383 ms inside the timed
+        # region (measured r4), making batching look slower than scalar
+        xs_w, _ = solver_k.solve_many(bbk)
+        float(jnp.sum(xs_w))
         t0 = time.perf_counter()
         xsk, info_k = solver_k.solve_many(bbk)
         float(jnp.sum(xsk))

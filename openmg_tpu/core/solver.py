@@ -411,12 +411,25 @@ class Solver:
         )
 
         t_start = time.perf_counter()
+        # the vmapped program is CACHED on the solver: a bare
+        # ``jax.vmap(lambda ...)`` would re-run the batching transform
+        # over the whole solve jaxpr on EVERY call — measured ~0.4 s of
+        # host tracing per call at (64,64,128) K=8, which swamped the
+        # 19 ms device time and made batching look slower than scalar
+        # solves (the r4 bench comparator caught it)
+        key = x_in is None
+        if not hasattr(self, "_solve_many_prog"):
+            self._solve_many_prog = {}
+        if key not in self._solve_many_prog:
+            if key:
+                fn = lambda b1: _solve_device(h, b1, None, **static)
+            else:
+                fn = lambda b1, x1: _solve_device(h, b1, x1, **static)
+            self._solve_many_prog[key] = jax.jit(jax.vmap(fn))
         if x_in is None:
-            fn = lambda b1: _solve_device(h, b1, None, **static)
-            x_out, metas = jax.vmap(fn)(b_in)
+            x_out, metas = self._solve_many_prog[key](b_in)
         else:
-            fn = lambda b1, x1: _solve_device(h, b1, x1, **static)
-            x_out, metas = jax.vmap(fn)(b_in, x_in)
+            x_out, metas = self._solve_many_prog[key](b_in, x_in)
 
         from openmg_tpu.utils.observe import unpack_solve_meta
 

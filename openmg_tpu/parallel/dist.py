@@ -869,8 +869,9 @@ class DistributedSolver:
 
     def solve_many(self, bs, x0s=None):
         """Batch of right-hand sides in ONE vmapped distributed program
-        (``vmap`` over the jitted shard_map solve loop — verified
-        bit-identical to scalar distributed solves).  Same contract as
+        (a cached ``jit(vmap(...))`` over the shard_map solve loop —
+        matches scalar distributed solves to fp-reassociation tolerance
+        with identical cycle counts; run-to-run bitwise).  Same contract as
         ``core.solver.Solver.solve_many``: lockstep while loop, per-rhs
         cycle counts/histories.  A ``(K, *grid)`` f32 jax-array ``bs``
         (and optionally ``x0s``) takes the device-native path — no host
@@ -918,18 +919,24 @@ class DistributedSolver:
             x_hi, x_lo = (jax.device_put(a, sh) for a in df_split(x0_np))
 
         t_start = time.perf_counter()
-        xh, xl, metas = jax.vmap(
-            lambda bh1, bl1, xh1, xl1: self._solve_loop(
-                self.level_data,
-                self.coarse_inv,
-                self.fine_hi,
-                self.fine_lo,
-                bh1,
-                bl1,
-                xh1,
-                xl1,
+        # cached jit(vmap(...)): re-running the batching transform per
+        # call costs ~0.4 s of host tracing (see core.solver.solve_many)
+        if not hasattr(self, "_solve_many_prog"):
+            self._solve_many_prog = jax.jit(
+                jax.vmap(
+                    lambda bh1, bl1, xh1, xl1: self._solve_loop(
+                        self.level_data,
+                        self.coarse_inv,
+                        self.fine_hi,
+                        self.fine_lo,
+                        bh1,
+                        bl1,
+                        xh1,
+                        xl1,
+                    )
+                )
             )
-        )(b_hi, b_lo, x_hi, x_lo)
+        xh, xl, metas = self._solve_many_prog(b_hi, b_lo, x_hi, x_lo)
         from openmg_tpu.utils.observe import unpack_solve_meta
 
         metas_np = np.asarray(metas)

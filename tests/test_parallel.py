@@ -635,8 +635,11 @@ def test_distributed_checkpoint_resume(tmp_path):
 
 
 def test_distributed_solve_many_matches_scalar():
-    """Distributed batched serving (vmap over the shard_map program) ==
-    per-rhs scalar distributed solves bit-exactly."""
+    """Distributed batched serving (one cached jit(vmap) over the
+    shard_map program) == per-rhs scalar distributed solves to fp
+    reassociation tolerance (the outer jit fuses across the vmap, so
+    batch-vs-scalar is no longer bit-identical — run-to-run determinism
+    of each program is pinned elsewhere), with identical cycle counts."""
     shape = (32, 16)
     cfg = SolverConfig(transfer="linear", residual_dtype="doublefloat",
                        cycles=60, gridlevels=3, max_dense_coarse=4096)
@@ -647,9 +650,14 @@ def test_distributed_solve_many_matches_scalar():
     assert info["batch"] == 2 and info["n_devices"] == 8
     for k, b in enumerate(rhs):
         xk, infok = solver.solve(b)
-        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
+        np.testing.assert_allclose(
+            np.asarray(xs[k]), np.asarray(xk), rtol=1e-11, atol=1e-13
+        )
         assert info["cycles"][k] == infok["cycles"]
     assert info["cycles"][1] < info["cycles"][0]
+    # run-to-run determinism of the batched program itself is bitwise
+    xs2, _ = solver.solve_many(rhs)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xs2))
 
 
 def test_distributed_solve_many_device_native(monkeypatch):
