@@ -258,9 +258,18 @@ def _region_acc(tbl_ref, r, R, offsets, W, depth, ny, nx, skip_diag):
     return acc
 
 
-def _region_sel(R, gp, iy, ix):
+def _region_sel(R, gp, iy, ix, open_lo=None):
+    """Region-row mask.  Cornered deviations live only at index-0 rows
+    (the Z(i) = {b : i_b = 0} structure — ops/stencil.py), so on a
+    row-partitioned block the axis-0 regions exist only on the FIRST
+    device: ``open_lo`` (the device-has-a-lower-neighbor flag) suppresses
+    them everywhere else; y/x regions are position-local and apply on
+    every device."""
+    z_mask = gp == 0
+    if open_lo is not None:
+        z_mask = jnp.logical_and(z_mask, open_lo < 0.5)
     sel = None
-    for b, m in ((0, gp == 0), (1, iy == 0), (2, ix == 0)):
+    for b, m in ((0, z_mask), (1, iy == 0), (2, ix == 0)):
         if b in R:
             sel = m if sel is None else jnp.logical_and(sel, m)
     return sel
@@ -282,7 +291,7 @@ def _widen_yx(v, ny, nx):
 
 def _corner_fix_stage(
     tbl_ref, regions, offsets, X_old, X_new, B, kind, p,
-    depth, ny, nx, gp, iy, ix,
+    depth, ny, nx, gp, iy, ix, open_lo=None,
 ):
     """Overwrite region rows of the post-stage ``X_new`` with exact-tap
     updates computed from the pre-stage ``X_old``."""
@@ -311,18 +320,19 @@ def _corner_fix_stage(
                 par = par + ix
             upd = jnp.where((par & 1) == p, xn, Xo_R)
         upd = _widen_yx(upd, ny, nx)
-        X_new = jnp.where(_region_sel(R, gp, iy, ix), upd, X_new)
+        X_new = jnp.where(_region_sel(R, gp, iy, ix, open_lo), upd, X_new)
     return X_new
 
 
 def _corner_fix_residual(
-    tbl_ref, regions, offsets, X, r_out, B, depth, ny, nx, gp, iy, ix
+    tbl_ref, regions, offsets, X, r_out, B, depth, ny, nx, gp, iy, ix,
+    open_lo=None,
 ):
     for r, R in enumerate(regions):
         acc = _region_acc(tbl_ref, r, R, offsets, X, depth, ny, nx, False)
         r_R = _region_extract(B, R, depth) - acc
         r_R = _widen_yx(r_R, ny, nx)
-        r_out = jnp.where(_region_sel(R, gp, iy, ix), r_R, r_out)
+        r_out = jnp.where(_region_sel(R, gp, iy, ix, open_lo), r_R, r_out)
     return r_out
 
 
@@ -523,7 +533,7 @@ def _fused_kernel(
         if regions:
             Xn = _corner_fix_stage(
                 tbl_ref, regions, offsets, X, Xn, B, kind, p,
-                depth, ny, nx, gp, iy, ix,
+                depth, ny, nx, gp, iy, ix, open_lo,
             )
         X = Xn * zvalid
 
@@ -532,7 +542,8 @@ def _fused_kernel(
         r = B - _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
         if regions:
             r = _corner_fix_residual(
-                tbl_ref, regions, offsets, X, r, B, depth, ny, nx, gp, iy, ix
+                tbl_ref, regions, offsets, X, r, B, depth, ny, nx, gp, iy,
+                ix, open_lo,
             )
         if restrict_taps is not None:
             bc = _restrict_in_kernel(
@@ -570,8 +581,10 @@ def fused_stages_const_3d(
     ``halos`` (row-partitioned local blocks — parallel/fast.py): a tuple
     ``(open_flags, (b_lo, b_hi), x_pair_or_None, ec_pair_or_None)`` of
     received depth-deep halo slabs (``halo_slabs``) consumed in-kernel at
-    the block's z edges.  Not supported together with ``corner`` (the
-    region fix-ups key on global z rows)."""
+    the block's z edges.  Works with ``corner`` too: cornered deviations
+    live only at index-0 rows, so the axis-0 region fix-ups are gated to
+    the first device via the open_lo flag (y/x regions are
+    position-local and run everywhere)."""
     offsets = tuple(tuple(o) for o in offsets)
     stages = tuple((str(k), (float(p) if k == "jacobi" else int(p)))
                    for k, p in stages)
@@ -583,8 +596,6 @@ def fused_stages_const_3d(
         depth += 1
     n_out = 2 if emit_residual else 1
     regions = tuple(tuple(R) for R in corner[0]) if corner else ()
-    if halos is not None and regions:
-        raise ValueError("device halos unsupported on cornered levels")
     min_tz = depth + 1 if regions else 1
     if restrict_transfer is not None or ec is not None:
         min_tz = max(min_tz, 2)
@@ -863,18 +874,21 @@ def _transfer_fusable(shape, transfer) -> bool:
 
 def plan_presmooth_restrict(
     name, n_offsets: int, shape, iterations: int, omega: float, transfer,
-    has_x: bool = False, halo: bool = False,
+    has_x: bool = False, halo: bool = False, corner: bool = False,
 ):
-    """Static feasibility check for :func:`presmooth_restrict_fused` on a
-    plain (non-cornered) constant level: returns the halo/window
-    ``depth`` when the fusion applies at ``shape``, else None.  The
-    distributed tier calls this BEFORE posting the halo exchange
-    (``halo=True`` adds the tz ≥ depth alignment constraint)."""
+    """Static feasibility check for :func:`presmooth_restrict_fused`:
+    returns the halo/window ``depth`` when the fusion applies at
+    ``shape``, else None.  The distributed tier calls this BEFORE
+    posting the halo exchange (``halo=True`` adds the tz ≥ depth
+    alignment constraint; ``corner`` the tz ≥ depth+1 region
+    constraint)."""
     stages = stages_for(name, iterations, omega)
     if stages is None or not stages or not _transfer_fusable(shape, transfer):
         return None
     depth = len(stages) + 2
-    min_tz = max(2, depth if halo else 2)
+    min_tz = max(2, depth + 1 if corner else 2)
+    if halo:
+        min_tz = max(min_tz, depth)
     if depth > MAX_CHUNK + 1 or _fit_tz(
         shape, depth, has_x, 2, min_tz=min_tz, k=n_offsets,
         fudge=1.55 if has_x else 1.0,
@@ -900,8 +914,6 @@ def presmooth_restrict_fused(
     ):
         return None
     corner = _corner_info(op)
-    if corner and halos is not None:
-        return None
     depth = len(stages) + 2
     min_tz = max(2, depth + 1 if corner else 2)
     if halos is not None:
@@ -919,19 +931,20 @@ def presmooth_restrict_fused(
 
 def plan_prolong_smooth(
     name, n_offsets: int, shape, iterations: int, omega: float, transfer,
-    halo: bool = False,
+    halo: bool = False, corner: bool = False,
 ):
-    """Static feasibility check for :func:`prolong_smooth_fused` on a
-    plain constant level: returns the ``depth`` (parity-padded) when the
-    fusion applies, else None — the caller sizes the (b, x) halo
-    exchanges at ``depth`` and the ec exchange at (depth//2,
-    depth//2+1)."""
+    """Static feasibility check for :func:`prolong_smooth_fused`:
+    returns the ``depth`` (parity-padded) when the fusion applies, else
+    None — the caller sizes the (b, x) halo exchanges at ``depth`` and
+    the ec exchange at (depth//2, depth//2+1)."""
     stages = stages_for(name, iterations, omega)
     if stages is None or not stages or not _transfer_fusable(shape, transfer):
         return None
     depth = len(stages)
     depth += depth % 2
-    min_tz = max(2, depth, 2 * (depth // 2 + 1)) if halo else 2
+    min_tz = max(2, depth + 1 if corner else 2)
+    if halo:
+        min_tz = max(min_tz, depth, 2 * (depth // 2 + 1))
     if depth > MAX_CHUNK or _fit_tz(
         shape, depth, True, 1, min_tz=min_tz, k=n_offsets
     ) is None:
@@ -955,8 +968,6 @@ def prolong_smooth_fused(
     ):
         return None
     corner = _corner_info(op)
-    if corner and halos is not None:
-        return None
     depth = len(stages)
     depth += depth % 2  # coarse window parity alignment
     min_tz = max(2, depth + 1 if corner else 2)

@@ -237,6 +237,16 @@ def _dist_v_cycle(
         op = op_at(level, x.shape)
         if plan[level]:
             if kinds[level] in ("const", "corner"):
+                if overlap:
+                    # chunked multi-half-sweep fusion (halo slabs
+                    # in-kernel; cornered fix-ups gated in-kernel) where
+                    # it fits — halves the HBM passes on levels too big
+                    # for the deep-fusion tier
+                    y = fast.smooth_chunks_part(
+                        smoother, op, b, x, iters, omega, axis_name, n_dev
+                    )
+                    if y is not None:
+                        return y
                 return fast.smooth_part(
                     smoother, op, b, x, iters, omega, axis_name, n_dev
                 )
@@ -304,15 +314,16 @@ def _dist_v_cycle(
         return up
 
     def deep_fusable(level) -> bool:
-        # partitioned const 3D level whose coarser level is also
+        # partitioned const/cornered 3D level whose coarser level is also
         # partitioned with all three axes coarsening — the deep-fusion
-        # tier (ops/fused.py with device halos) applies; cornered /
-        # varying / redistribution-boundary levels use the per-sweep tier
+        # tier (ops/fused.py with device halos; cornered region fix-ups
+        # gated to the first device in-kernel) applies; varying /
+        # redistribution-boundary levels use the per-sweep tier
         return (
             overlap
             and plan[level]
             and plan[level + 1]
-            and kinds[level] == "const"
+            and kinds[level] in ("const", "corner")
             and coarsened_axes[level] == (0, 1, 2)
         )
 

@@ -469,13 +469,76 @@ def smooth_part_vary(
 # ---------------------------------------------------------------------------
 
 
-def _fusable_const(op, b) -> bool:
-    return (
-        b.ndim == 3
-        and b.dtype == jnp.float32
-        and isinstance(op, StencilOperator)
-        and op.is_constant
-    )
+def _fusable_op(op, b) -> bool:
+    """Ops the deep-fusion tier handles: constant stencils and cornered
+    operators (whose axis-0 region fix-ups are gated to the first device
+    in-kernel via the open_lo flag — ops/fused.py)."""
+    if b.ndim != 3 or b.dtype != jnp.float32:
+        return False
+    if isinstance(op, CorneredOperator):
+        return True
+    return isinstance(op, StencilOperator) and op.is_constant
+
+
+def smooth_chunks_part(
+    name, op, b, x, iterations, omega, axis_name, n_dev: int
+):
+    """Partitioned multi-half-sweep fusion WITHOUT transfer fusion: S
+    half-sweeps run in chunks of the deepest VMEM-fitting depth, each
+    chunk one Pallas pass with chunk-deep halo slabs in-kernel.  This is
+    the fallback fused tier for levels where the full
+    presmooth+restrict / prolong+postsmooth fusion does not fit (e.g.
+    512²-plane levels) — it halves the half-sweep HBM passes vs the
+    per-sweep tier, mirroring the single-device ``smooth_fused``
+    chunking.  Returns the smoothed ``x`` or None."""
+    from openmg_tpu.ops import fused
+
+    if not _fusable_op(op, b):
+        return None
+    stages = fused.stages_for(name, iterations, omega)
+    if stages is None or len(stages) < 2:
+        return None
+    corner = fused._corner_info(op)
+    k = len(op.offsets)
+    c_max = 0
+    for c in range(min(len(stages), fused.MAX_CHUNK), 1, -1):
+        if fused._fit_tz(
+            b.shape, c, True, 1,
+            min_tz=max(2, c + 1 if corner else c), k=k,
+        ) is not None:
+            c_max = c
+            break
+    if c_max < 2:
+        return None
+    if corner and len(stages) % c_max:
+        # a trailing single half-sweep would need the per-sweep cornered
+        # path mid-loop; let smooth_part handle the whole thing instead
+        return None
+    flags = open_flags(axis_name, n_dev)
+    remaining = list(stages)
+    while remaining:
+        c = min(c_max, len(remaining))
+        if c < 2:
+            # a trailing single half-sweep: the per-sweep halo kernel
+            mode, p = remaining[0]
+            lower, upper = halo_planes(x, axis_name, n_dev)
+            x = _bulk_half_sweep(
+                "jacobi" if mode == "jacobi" else "rb",
+                op.values, op.offsets, b, x,
+                p if mode == "jacobi" else 0.0,
+                p if mode != "jacobi" else 0,
+                lower, upper,
+            )
+            remaining = remaining[1:]
+            continue
+        chunk, remaining = remaining[:c], remaining[c:]
+        b_pair = halo_slabs(b, axis_name, n_dev, c)
+        x_pair = halo_slabs(x, axis_name, n_dev, c)
+        x = fused.fused_stages_const_3d(
+            op.values, op.offsets, b, x, chunk, corner=corner,
+            halos=(flags, b_pair, x_pair, None),
+        )
+    return x
 
 
 def presmooth_restrict_part(
@@ -490,11 +553,12 @@ def presmooth_restrict_part(
     local extents are even)."""
     from openmg_tpu.ops import fused
 
-    if not _fusable_const(op, b):
+    if not _fusable_op(op, b):
         return None
     depth = fused.plan_presmooth_restrict(
         name, len(op.offsets), b.shape, iterations, omega, transfer,
         has_x=x is not None, halo=True,
+        corner=isinstance(op, CorneredOperator),
     )
     if depth is None:
         return None
@@ -516,11 +580,11 @@ def prolong_smooth_part(
     None."""
     from openmg_tpu.ops import fused
 
-    if not _fusable_const(op, b):
+    if not _fusable_op(op, b):
         return None
     depth = fused.plan_prolong_smooth(
         name, len(op.offsets), b.shape, iterations, omega, transfer,
-        halo=True,
+        halo=True, corner=isinstance(op, CorneredOperator),
     )
     if depth is None:
         return None

@@ -260,6 +260,74 @@ def test_distributed_deep_fusion_matches_single():
     )
 
 
+def test_distributed_cornered_deep_fusion_matches():
+    """The K=27 cornered Galerkin level runs the deep-fusion tier
+    partitioned: presmooth+residual+restriction and prolong+postsmooth
+    each as one Pallas pass with halo slabs, the axis-0 region fix-ups
+    gated to the first device in-kernel (open_lo).  Kernel-level parity
+    against the single-device fused entries (a full-solve variant at
+    this scale is minutes of CPU interpreter time)."""
+    import dataclasses as _dc
+
+    from openmg_tpu.ops import fused
+    from openmg_tpu.ops.stencil import CorneredOperator
+    from openmg_tpu.parallel import fast
+    from openmg_tpu.parallel.mesh import make_mesh
+
+    cfg = SolverConfig(
+        smoother="rbgs", transfer="linear", residual_dtype="doublefloat",
+        cycles=60, gridlevels=4, max_dense_coarse=4096,
+    )
+    h = setup((128, 32, 256), cfg).hierarchy
+    op = h.levels[1].A
+    assert isinstance(op, CorneredOperator) and op.num_offsets == 27
+    s = op.grid_shape  # (64, 16, 128)
+    local = (s[0] // 8,) + s[1:]
+    assert fused.plan_presmooth_restrict(
+        "rbgs", 27, local, 2, 2 / 3, h.transfer, halo=True, corner=True
+    ) is not None
+    op_local = CorneredOperator(
+        op.values, op.deltas, op.offsets, local, op.subsets
+    )
+    b = jnp.asarray(rhs_random(s, seed=3), jnp.float32)
+    x = jnp.asarray(rhs_random(s, seed=4), jnp.float32)
+    sc = tuple(d // 2 for d in s)
+    ec = jnp.asarray(rhs_random(sc, seed=5), jnp.float32)
+    mesh = make_mesh(8)
+
+    xw, bcw = fused.presmooth_restrict_fused(
+        "rbgs", op, b, None, 2, 2 / 3, h.transfer
+    )
+    f = jax.jit(
+        jax.shard_map(
+            lambda b_: fast.presmooth_restrict_part(
+                "rbgs", op_local, b_, None, 2, 2 / 3, h.transfer, "x", 8
+            ),
+            mesh=mesh, in_specs=P("x"), out_specs=(P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    xg, bcg = f(b)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xw), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bcg), np.asarray(bcw), atol=2e-5)
+
+    yw = fused.prolong_smooth_fused(
+        "rbgs", op, b, x, ec, 2, 2 / 3, h.transfer
+    )
+    assert yw is not None
+    fp = jax.jit(
+        jax.shard_map(
+            lambda b_, x_, e_: fast.prolong_smooth_part(
+                "rbgs", op_local, b_, x_, e_, 2, 2 / 3, h.transfer, "x", 8
+            ),
+            mesh=mesh, in_specs=(P("x"),) * 3, out_specs=P("x"),
+            check_vma=False,
+        )
+    )
+    yg = fp(b, x, ec)
+    np.testing.assert_allclose(np.asarray(yg), np.asarray(yw), atol=2e-5)
+
+
 def test_distributed_vary_kernel_tier():
     """(32, 8, 256) diffusion: partitioned varying-coefficient levels run
     the vary Pallas kernels inside shard_map (the local block (4, 8, 256)
