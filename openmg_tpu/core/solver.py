@@ -411,25 +411,30 @@ class Solver:
         )
 
         t_start = time.perf_counter()
-        # the vmapped program is CACHED on the solver: a bare
+        # The vmapped program is CACHED on the solver: a bare
         # ``jax.vmap(lambda ...)`` would re-run the batching transform
         # over the whole solve jaxpr on EVERY call — measured ~0.4 s of
         # host tracing per call at (64,64,128) K=8, which swamped the
         # 19 ms device time and made batching look slower than scalar
-        # solves (the r4 bench comparator caught it)
+        # solves (the r4 bench comparator caught it).  The hierarchy is
+        # a runtime ARGUMENT (in_axes=None), never a closure — a closed-
+        # over hierarchy bakes every level array into the lowered module
+        # as HLO constants (relay HTTP 413 on vary/large hierarchies).
         key = x_in is None
         if not hasattr(self, "_solve_many_prog"):
             self._solve_many_prog = {}
         if key not in self._solve_many_prog:
             if key:
-                fn = lambda b1: _solve_device(h, b1, None, **static)
+                fn = lambda h_, b1: _solve_device(h_, b1, None, **static)
+                axes = (None, 0)
             else:
-                fn = lambda b1, x1: _solve_device(h, b1, x1, **static)
-            self._solve_many_prog[key] = jax.jit(jax.vmap(fn))
+                fn = lambda h_, b1, x1: _solve_device(h_, b1, x1, **static)
+                axes = (None, 0, 0)
+            self._solve_many_prog[key] = jax.jit(jax.vmap(fn, in_axes=axes))
         if x_in is None:
-            x_out, metas = self._solve_many_prog[key](b_in)
+            x_out, metas = self._solve_many_prog[key](h, b_in)
         else:
-            x_out, metas = self._solve_many_prog[key](b_in, x_in)
+            x_out, metas = self._solve_many_prog[key](h, b_in, x_in)
 
         from openmg_tpu.utils.observe import unpack_solve_meta
 

@@ -547,7 +547,13 @@ class DistributedSolver:
       under the radius-1 transfers).  Wider operators would need
       multi-plane halos, which the exchange layer does not implement.
     * The general-sparse engine (ELL/CSR/BSR, :mod:`core.algebraic`) is
-      single-device only; distribute stencil-form problems.
+      single-device only; distribute stencil-form problems.  (The
+      pathway, if ever needed: banded ELL levels with ``slot_offsets``
+      row-partition exactly like the stencil tier — halo slabs of
+      ``max|d|`` flat rows, static-slice SpMV on the extended segment —
+      and the geometric R/P matrices partition along grid axis 0; but
+      every grid-structured operator already has the faster stencil
+      path, so this would only serve banded-but-not-grid matrices.)
     """
 
     def __init__(
@@ -930,24 +936,23 @@ class DistributedSolver:
             x_hi, x_lo = (jax.device_put(a, sh) for a in df_split(x0_np))
 
         t_start = time.perf_counter()
-        # cached jit(vmap(...)): re-running the batching transform per
-        # call costs ~0.4 s of host tracing (see core.solver.solve_many)
+        # Cached jit(vmap(...)): re-running the batching transform per
+        # call costs ~0.4 s of host tracing (see core.solver.solve_many).
+        # The hierarchy arrays are runtime ARGUMENTS (in_axes=None) — a
+        # closure would bake them into the lowered module as HLO
+        # constants (relay HTTP 413 on vary/large hierarchies).
         if not hasattr(self, "_solve_many_prog"):
             self._solve_many_prog = jax.jit(
                 jax.vmap(
-                    lambda bh1, bl1, xh1, xl1: self._solve_loop(
-                        self.level_data,
-                        self.coarse_inv,
-                        self.fine_hi,
-                        self.fine_lo,
-                        bh1,
-                        bl1,
-                        xh1,
-                        xl1,
-                    )
+                    lambda ld, ci, fh, fl, bh1, bl1, xh1, xl1:
+                    self._solve_loop(ld, ci, fh, fl, bh1, bl1, xh1, xl1),
+                    in_axes=(None, None, None, None, 0, 0, 0, 0),
                 )
             )
-        xh, xl, metas = self._solve_many_prog(b_hi, b_lo, x_hi, x_lo)
+        xh, xl, metas = self._solve_many_prog(
+            self.level_data, self.coarse_inv, self.fine_hi, self.fine_lo,
+            b_hi, b_lo, x_hi, x_lo,
+        )
         from openmg_tpu.utils.observe import unpack_solve_meta
 
         metas_np = np.asarray(metas)

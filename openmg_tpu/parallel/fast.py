@@ -515,6 +515,10 @@ def smooth_chunks_part(
         # path mid-loop; let smooth_part handle the whole thing instead
         return None
     flags = open_flags(axis_name, n_dev)
+    # b never changes between chunks — exchange its slabs ONCE at the
+    # full width and slice for a shorter trailing chunk (lower slab =
+    # neighbor's LAST rows, upper = its FIRST rows); only x re-exchanges
+    b_lo_full, b_hi_full = halo_slabs(b, axis_name, n_dev, c_max)
     remaining = list(stages)
     while remaining:
         c = min(c_max, len(remaining))
@@ -532,7 +536,11 @@ def smooth_chunks_part(
             remaining = remaining[1:]
             continue
         chunk, remaining = remaining[:c], remaining[c:]
-        b_pair = halo_slabs(b, axis_name, n_dev, c)
+        b_pair = (
+            (b_lo_full, b_hi_full)
+            if c == c_max
+            else (b_lo_full[c_max - c:], b_hi_full[:c])
+        )
         x_pair = halo_slabs(x, axis_name, n_dev, c)
         x = fused.fused_stages_const_3d(
             op.values, op.offsets, b, x, chunk, corner=corner,

@@ -84,7 +84,14 @@ def initialize_distributed(**kwargs) -> None:
         # failure (bad coordinator address, port clash, …) must surface
         # here, not later as a confusing 1-process mesh.
         msg = str(e).lower()
-        if "already initialized" in msg or "more than once" in msg:
+        # JAX has used several wordings across versions: "already
+        # initialized", "was called more than once", and (0.9.x)
+        # "distributed.initialize should only be called once."
+        if (
+            "already initialized" in msg
+            or "more than once" in msg
+            or "only be called once" in msg
+        ):
             return
         if "must be called before" in msg:
             # the XLA backend is already up in this process (e.g. tests,

@@ -78,54 +78,57 @@ def comm_model(
             hbm_bytes += lv_hbm
             continue
 
-        deep = False
+        deep_pre = deep_post = False
+        d_pre = d_post = None
         if plan[lvl] and lvl + 1 < num_levels:
             local_shape = (int(shape[0]) // n_dev,) + tuple(
                 int(s) for s in shape[1:]
             )
-            deep = (
+            # mirror _dist_v_cycle.deep_fusable: const AND cornered
+            # levels deep-fuse, and the pre/post fusions are independent
+            if (
                 plan[lvl + 1]
-                and kinds[lvl] == "const"
+                and kinds[lvl] in ("const", "corner")
                 and len(shape) == 3
                 and solver.coarsened_axes[lvl] == (0, 1, 2)
-                and fused.plan_presmooth_restrict(
-                    cfg.smoother, len(solver.offsets_per_level[lvl]),
-                    local_shape, pre, cfg.omega, solver.transfer, halo=True,
-                ) is not None
-                and fused.plan_prolong_smooth(
-                    cfg.smoother, len(solver.offsets_per_level[lvl]),
-                    local_shape, post, cfg.omega, solver.transfer, halo=True,
-                ) is not None
-            )
-        if deep:
-            d_pre = fused.plan_presmooth_restrict(
-                cfg.smoother, len(solver.offsets_per_level[lvl]),
-                local_shape, pre, cfg.omega, solver.transfer, halo=True,
-            )
-            d_post = fused.plan_prolong_smooth(
-                cfg.smoother, len(solver.offsets_per_level[lvl]),
-                local_shape, post, cfg.omega, solver.transfer, halo=True,
-            )
-            dc = d_post // 2
-            # presmooth+restrict: b slabs both ways (x is zero-start)
-            lv_halo += 2 * d_pre * plane
-            # prolong+post: b + x slabs, plus the coarse ec slabs
-            lv_halo += 2 * d_post * plane * 2
-            lv_halo += (2 * dc + 1) * (plane / 4)
-            # HBM: fused pre pass (b in, x+bc out) + fused post pass
-            # (b, x, ec in; x out) ≈ 2.2 + 3.2 local passes, plus the
-            # redundant halo re-reads (small) — call it 6 passes/cycle
-            lv_hbm += 6 * local_bytes
-        elif plan[lvl]:
-            halfsweeps = (pre + post) * half_per_sweep
-            lv_halo += 2 * plane * halfsweeps  # per-sweep kernel halos
-            lv_halo += 2 * plane  # residual
-            lv_halo += 2 * plane  # restrict halo_exchange
-            if lvl + 1 < num_levels and plan[lvl + 1]:
-                lv_halo += 2 * (plane / 4)  # prolong (coarse planes)
-            # per-half-sweep kernels stream ~3 arrays/pass + residual +
-            # transfers
-            lv_hbm += (3 * halfsweeps + 3 + 2.6) * local_bytes
+            ):
+                is_corner = kinds[lvl] == "corner"
+                k_off = len(solver.offsets_per_level[lvl])
+                d_pre = fused.plan_presmooth_restrict(
+                    cfg.smoother, k_off, local_shape, pre, cfg.omega,
+                    solver.transfer, halo=True, corner=is_corner,
+                )
+                d_post = fused.plan_prolong_smooth(
+                    cfg.smoother, k_off, local_shape, post, cfg.omega,
+                    solver.transfer, halo=True, corner=is_corner,
+                )
+                deep_pre = d_pre is not None
+                deep_post = d_post is not None
+        deep = deep_pre and deep_post
+        if plan[lvl]:
+            # pre side: fused presmooth+residual+restrict, or per-sweep
+            # halos + residual + restrict exchanges.  (The chunked
+            # multi-half-sweep tier exchanges 2c planes per c-chunk —
+            # byte-equal to c per-sweep exchanges, so no separate case.)
+            if deep_pre:
+                lv_halo += 2 * d_pre * plane  # b slabs (x is zero-start)
+                lv_hbm += 2.5 * local_bytes
+            else:
+                lv_halo += 2 * plane * pre * half_per_sweep
+                lv_halo += 2 * plane  # residual
+                lv_halo += 2 * plane  # restrict halo_exchange
+                lv_hbm += (3 * pre * half_per_sweep + 3 + 1.3) * local_bytes
+            # post side: fused prolong+postsmooth, or per-sweep + prolong
+            if deep_post:
+                dc = d_post // 2
+                lv_halo += 2 * d_post * plane * 2  # b + x slabs
+                lv_halo += (2 * dc + 1) * (plane / 4)  # coarse ec slabs
+                lv_hbm += 3.5 * local_bytes
+            else:
+                lv_halo += 2 * plane * post * half_per_sweep
+                if lvl + 1 < num_levels and plan[lvl + 1]:
+                    lv_halo += 2 * (plane / 4)  # prolong (coarse planes)
+                lv_hbm += (3 * post * half_per_sweep + 1.3) * local_bytes
         else:
             lv_hbm += (
                 3 * (pre + post) * half_per_sweep + 3 + 2.6

@@ -547,13 +547,17 @@ def test_initialize_distributed_reraises_genuine_errors(monkeypatch):
     with pytest.raises(RuntimeError, match="coordinator"):
         initialize_distributed()
 
-    def already(**kwargs):
-        raise RuntimeError(
-            "jax.distributed.initialize() was called more than once"
-        )
+    # the actual JAX 0.9.x re-init wording, plus older variants
+    for wording in (
+        "distributed.initialize should only be called once.",
+        "jax.distributed.initialize() was called more than once",
+        "Distributed system is already initialized",
+    ):
+        def already(_msg=wording, **kwargs):
+            raise RuntimeError(_msg)
 
-    monkeypatch.setattr(jax.distributed, "initialize", already)
-    initialize_distributed()  # benign: swallowed
+        monkeypatch.setattr(jax.distributed, "initialize", already)
+        initialize_distributed()  # benign: swallowed
 
 
 def test_comm_model_accounting():
