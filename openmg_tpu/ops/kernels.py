@@ -4,8 +4,9 @@ Fused weighted-Jacobi and red–black Gauss–Seidel sweeps for 3D
 constant-coefficient stencils (the fine-level fast path; see
 :mod:`openmg_tpu.ops.stencil`).  Design:
 
-* grid over z-slabs of ``TZ`` planes; y/x stay whole inside a tile (grids
-  of interest have ny·nx ≤ 512² so a slab fits VMEM);
+* grid over z-slabs of ``TZ`` planes; y/x stay whole inside a tile
+  (ny·nx ≤ 512² planes fit VMEM; bigger 2D grids use the folded-2D
+  tier below);
 * the same ``x`` array is passed three times with different BlockSpecs —
   the aligned ``(TZ, ny, nx)`` tile plus one neighbor *plane* on each side
   (block size 1 along z makes the block index an element index, so the
