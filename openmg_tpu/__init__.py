@@ -47,6 +47,10 @@ from openmg_tpu.ops.sparse import (
 from openmg_tpu.ops.stencil import StencilOperator
 from openmg_tpu.parallel.dist import DistributedSolver, distributed_setup
 from openmg_tpu.parallel.mesh import initialize_distributed, make_mesh
+from openmg_tpu.parallel.sparse_dist import (
+    DistributedAlgebraicSolver,
+    setup_sparse_distributed,
+)
 
 __version__ = "0.1.0"
 
@@ -76,6 +80,8 @@ __all__ = [
     "setup_sparse",
     "DistributedSolver",
     "distributed_setup",
+    "DistributedAlgebraicSolver",
+    "setup_sparse_distributed",
     "make_mesh",
     "initialize_distributed",
 ]

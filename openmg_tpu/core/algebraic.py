@@ -687,24 +687,33 @@ class AlgebraicSolver:
             b_in = jnp.asarray(b_np, dtype=rd)
             x_in = jnp.asarray(x0_np, dtype=rd)
 
-        import functools as _ft
-
-        import jax as _jax
-
-        fn = _ft.partial(
-            _sparse_solve_device,
-            h,
-            limit=limit,
-            threshold=float(cfg.threshold),
-            pre=cfg.pre_iterations,
-            post=cfg.post_iterations,
-            smoother=cfg.smoother,
-            cycle_type=cfg.cycle_type,
-            omega=cfg.omega,
-            df=self.df,
-        )
         t_start = time.perf_counter()
-        x_out, metas = _jax.vmap(lambda b1, x1: fn(b1, x1))(b_in, x_in)
+        # Cached jit(vmap(...)): re-running the batching transform per
+        # call costs ~0.4 s of host tracing (measured r4 — see
+        # core.solver.Solver.solve_many).  The hierarchy is a runtime
+        # ARGUMENT (in_axes=None), never a closure — closures bake the
+        # level arrays into the lowered module as HLO constants (relay
+        # HTTP 413 on large hierarchies).
+        if not hasattr(self, "_solve_many_prog"):
+            _kw = dict(
+                limit=limit,
+                threshold=float(cfg.threshold),
+                pre=cfg.pre_iterations,
+                post=cfg.post_iterations,
+                smoother=cfg.smoother,
+                cycle_type=cfg.cycle_type,
+                omega=cfg.omega,
+                df=self.df,
+            )
+            self._solve_many_prog = jax.jit(
+                jax.vmap(
+                    lambda hh, b1, x1: _sparse_solve_device(
+                        hh, b1, x1, **_kw
+                    ),
+                    in_axes=(None, 0, 0),
+                )
+            )
+        x_out, metas = self._solve_many_prog(h, b_in, x_in)
         from openmg_tpu.utils.observe import unpack_solve_meta
 
         metas_np = np.asarray(metas)

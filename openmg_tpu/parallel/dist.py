@@ -546,14 +546,13 @@ class DistributedSolver:
       family this framework builds — radius-1 fine stencils stay radius-1
       under the radius-1 transfers).  Wider operators would need
       multi-plane halos, which the exchange layer does not implement.
-    * The general-sparse engine (ELL/CSR/BSR, :mod:`core.algebraic`) is
-      single-device only; distribute stencil-form problems.  (The
-      pathway, if ever needed: banded ELL levels with ``slot_offsets``
-      row-partition exactly like the stencil tier — halo slabs of
-      ``max|d|`` flat rows, static-slice SpMV on the extended segment —
-      and the geometric R/P matrices partition along grid axis 0; but
-      every grid-structured operator already has the faster stencil
-      path, so this would only serve banded-but-not-grid matrices.)
+    * This class distributes stencil-form problems.  General-sparse
+      (ELL) problems with banded structure distribute via
+      :class:`openmg_tpu.parallel.sparse_dist.DistributedAlgebraicSolver`
+      (slot-offset levels row-partition exactly like the stencil tier —
+      ``max|d|``-row halo slabs, static-slice SpMV on the extended
+      segment); irregular-sparsity matrices remain single-device
+      (:class:`openmg_tpu.core.algebraic.AlgebraicSolver`).
     """
 
     def __init__(
