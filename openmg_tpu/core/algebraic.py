@@ -151,7 +151,7 @@ class SparseLevel:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("levels", "coarse_inv", "fine_hi", "fine_lo"),
-    meta_fields=("stats", "fmt"),
+    meta_fields=("stats", "fmt", "shapes", "transfer_name"),
 )
 @dataclasses.dataclass(frozen=True)
 class SparseHierarchy:
@@ -161,6 +161,13 @@ class SparseHierarchy:
     fine_lo: ELLMatrix | None  # lo part (doublefloat) or None
     stats: tuple  # per-level (n, k_or_kb, true_nnz)
     fmt: str
+    # per-level grid shapes + the transfer spec the explicit R/P were
+    # built from: factor-2 level pairs apply transfers as the separable
+    # strided grid ops (ops/transfer.py — gather-free; XLA's gather is
+    # ~750× off roofline on TPU) instead of SpMV with the explicit ELL
+    # matrix.  None (legacy/hand-built hierarchies) keeps the SpMV path.
+    shapes: tuple | None = None
+    transfer_name: str | None = None
 
     @property
     def num_levels(self) -> int:
@@ -169,6 +176,21 @@ class SparseHierarchy:
     @property
     def n(self) -> int:
         return self.levels[0].n
+
+    def geom_transfer(self, level: int):
+        """The ``(fine_shape, coarse_shape, Transfer)`` triple when level →
+        level+1 can run the separable strided grid transfers (every axis
+        either halves exactly or is a kept size-1 axis), else None."""
+        if self.shapes is None or self.transfer_name is None:
+            return None
+        if level >= len(self.shapes) - 1:
+            return None
+        fs, cs = self.shapes[level], self.shapes[level + 1]
+        if not all(f == 2 * c or (f == c == 1) for f, c in zip(fs, cs)):
+            return None
+        from openmg_tpu.ops.transfer import TRANSFERS
+
+        return fs, cs, TRANSFERS[self.transfer_name]
 
 
 def _resolve_blocksize(n: int, want: int) -> int:
@@ -315,6 +337,8 @@ def build_sparse_hierarchy(
         fine_lo=fine_lo,
         stats=tuple(stats),
         fmt=fmt,
+        shapes=tuple(tuple(int(v) for v in s) for s in shapes),
+        transfer_name=transfer_name,
     )
 
 
@@ -355,6 +379,33 @@ def _smooth_sparse(level: SparseLevel, b, x, iterations: int, smoother, omega):
     raise ValueError(f"unknown smoother {smoother!r}")
 
 
+def _restrict_level(hierarchy: SparseHierarchy, level: int, r):
+    """``R r`` at ``level``: separable strided grid ops on factor-2 level
+    pairs (gather-free — the TPU path), explicit-ELL SpMV otherwise.
+    Identical values either way (the explicit matrices are built FROM the
+    tap tensor product — utils/oracle.py; agreement pinned in
+    tests/test_transfer.py)."""
+    geom = hierarchy.geom_transfer(level)
+    if geom is not None:
+        from openmg_tpu.ops.transfer import restrict
+
+        fs, cs, transfer = geom
+        return restrict(r.reshape(fs), transfer).reshape(-1)
+    return spmv(hierarchy.levels[level].R, r)
+
+
+def _prolong_level(hierarchy: SparseHierarchy, level: int, ec):
+    """``P e`` at ``level`` (coarse level+1 → fine level); see
+    :func:`_restrict_level`."""
+    geom = hierarchy.geom_transfer(level)
+    if geom is not None:
+        from openmg_tpu.ops.transfer import prolong
+
+        fs, cs, transfer = geom
+        return prolong(ec.reshape(cs), fs, transfer).reshape(-1)
+    return spmv(hierarchy.levels[level].P, ec)
+
+
 def sparse_v_cycle(
     hierarchy: SparseHierarchy,
     b,
@@ -373,14 +424,14 @@ def sparse_v_cycle(
         return hierarchy.coarse_inv @ b
     x = _smooth_sparse(L, b, x, pre, smoother, omega)
     r = b - spmv(L.A, x)
-    bc = spmv(L.R, r)
+    bc = _restrict_level(hierarchy, level, r)
     ec = jnp.zeros_like(bc)
     visits = 1 if level == hierarchy.num_levels - 2 else gamma
     for _ in range(visits):
         ec = sparse_v_cycle(
             hierarchy, bc, ec, level + 1, pre, post, smoother, omega, gamma
         )
-    x = x + spmv(L.P, ec)
+    x = x + _prolong_level(hierarchy, level, ec)
     x = _smooth_sparse(L, b, x, post, smoother, omega)
     return x
 
@@ -395,11 +446,11 @@ def sparse_fmg_cycle(
 ):
     """Full-multigrid pass from a zero guess (cf. core.cycle.fmg_cycle)."""
     bs = [b]
-    for L in hierarchy.levels[:-1]:
-        bs.append(spmv(L.R, bs[-1]))
+    for lvl in range(hierarchy.num_levels - 1):
+        bs.append(_restrict_level(hierarchy, lvl, bs[-1]))
     x = hierarchy.coarse_inv @ bs[-1]
     for lvl in range(hierarchy.num_levels - 2, -1, -1):
-        x = spmv(hierarchy.levels[lvl].P, x)
+        x = _prolong_level(hierarchy, lvl, x)
         x = sparse_v_cycle(
             hierarchy, bs[lvl], x, lvl, pre, post, smoother, omega
         )
@@ -547,19 +598,36 @@ class AlgebraicSolver:
     def solve(self, b, x0=None):
         cfg = self.config
         h = self.hierarchy
-        b_np = np.asarray(b, dtype=np.float64).reshape(-1)
-        x0_np = (
-            np.zeros(self.n)
-            if x0 is None
-            else np.asarray(x0, dtype=np.float64).reshape(-1)
+        # device-native path (mirrors core.solver.Solver / the distributed
+        # engines): a flat f32 jax-array rhs skips the host df_split and
+        # the float64 merge/readback — serving callers keep everything on
+        # device and read the full pair from info['x_df']
+        device_native = (
+            self.df and isinstance(b, jax.Array) and b.dtype == jnp.float32
         )
-        if self.df:
-            b_dev = df_split(b_np)
-            x = df_split(x0_np)
+        if device_native:
+            b1 = b.reshape(-1)
+            b_dev = (b1, jnp.zeros_like(b1))
+            if x0 is None:
+                x = (jnp.zeros_like(b1), jnp.zeros_like(b1))
+            elif isinstance(x0, jax.Array) and x0.dtype == jnp.float32:
+                x = (x0.reshape(-1), jnp.zeros_like(b1))
+            else:
+                x = df_split(np.asarray(x0, dtype=np.float64).reshape(-1))
         else:
-            rd = h.fine_hi.dtype
-            b_dev = jnp.asarray(b_np, dtype=rd)
-            x = jnp.asarray(x0_np, dtype=rd)
+            b_np = np.asarray(b, dtype=np.float64).reshape(-1)
+            x0_np = (
+                np.zeros(self.n)
+                if x0 is None
+                else np.asarray(x0, dtype=np.float64).reshape(-1)
+            )
+            if self.df:
+                b_dev = df_split(b_np)
+                x = df_split(x0_np)
+            else:
+                rd = h.fine_hi.dtype
+                b_dev = jnp.asarray(b_np, dtype=rd)
+                x = jnp.asarray(x0_np, dtype=rd)
 
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
 
@@ -584,9 +652,14 @@ class AlgebraicSolver:
             k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
             n_cycles = max(k_fin - 1, 0)
-            x_out = (
-                df_merge(x) if self.df else np.asarray(x, dtype=np.float64)
-            )
+            if device_native:
+                x_out = x[0]
+            else:
+                x_out = (
+                    df_merge(x)
+                    if self.df
+                    else np.asarray(x, dtype=np.float64)
+                )
             info = {
                 "residual_norms": history,
                 "cycles": n_cycles,
@@ -604,6 +677,8 @@ class AlgebraicSolver:
                 "outer_loop": "device",
                 "solve_time_s": solve_time,
             }
+            if device_native:
+                info["x_df"] = x
             return x_out, info
 
         history, cycle_times = [], []
@@ -636,11 +711,15 @@ class AlgebraicSolver:
                 x.block_until_ready()
             cycle_times.append(time.perf_counter() - t0)
 
-        x_out = (
-            df_merge(x)
-            if self.df
-            else np.asarray(x, dtype=np.float64)
-        )  # host numpy out: never re-upload the result to the device
+        if device_native:
+            x_out = x[0]
+        else:
+            # host numpy out: never re-upload the result to the device
+            x_out = (
+                df_merge(x)
+                if self.df
+                else np.asarray(x, dtype=np.float64)
+            )
         info = {
             "residual_norms": history,
             "cycles": len(history) - 1,
@@ -660,32 +739,60 @@ class AlgebraicSolver:
             "outer_loop": "host",
             "solve_time_s": time.perf_counter() - t_start,
         }
+        if device_native:
+            info["x_df"] = x
         return x_out, info
 
     def solve_many(self, bs, x0s=None):
         """Batch of right-hand sides in ONE vmapped device program — the
         general-sparse serving path (same contract as
         ``core.solver.Solver.solve_many``; lockstep while loop, per-rhs
-        histories).  Returns ``(xs, info)`` with stacked float64 ``xs``."""
+        histories).  Host/numpy input returns stacked float64 ``xs``; a
+        ``(K, n)`` f32 jax-array takes the device-native path (no host
+        df_split/merge; f32 hi part returned, full pair in
+        ``info['x_df']``)."""
         cfg = self.config
         h = self.hierarchy
         limit = cfg.cycles if cfg.cycles > 0 else 10_000
-        b_np = np.stack(
-            [np.asarray(b, dtype=np.float64).reshape(-1) for b in bs]
+        # device-native batch path: (K, n) f32 jax array skips host
+        # df_split/stack and the float64 readback (cf. solve())
+        device_native = (
+            self.df and isinstance(bs, jax.Array) and bs.dtype == jnp.float32
         )
-        K = b_np.shape[0]
-        if x0s is None:
-            x0_np = np.zeros_like(b_np)
+        if device_native:
+            K = int(bs.shape[0])
+            bK = bs.reshape(K, -1)
+            b_in = (bK, jnp.zeros_like(bK))
+            if x0s is None:
+                x_in = (jnp.zeros_like(bK), jnp.zeros_like(bK))
+            elif isinstance(x0s, jax.Array) and x0s.dtype == jnp.float32:
+                x_in = (x0s.reshape(K, -1), jnp.zeros_like(bK))
+            else:
+                x_in = df_split(
+                    np.stack(
+                        [
+                            np.asarray(x, dtype=np.float64).reshape(-1)
+                            for x in x0s
+                        ]
+                    )
+                )
         else:
-            x0_np = np.stack(
-                [np.asarray(x, dtype=np.float64).reshape(-1) for x in x0s]
+            b_np = np.stack(
+                [np.asarray(b, dtype=np.float64).reshape(-1) for b in bs]
             )
-        if self.df:
-            b_in, x_in = df_split(b_np), df_split(x0_np)
-        else:
-            rd = h.fine_hi.dtype
-            b_in = jnp.asarray(b_np, dtype=rd)
-            x_in = jnp.asarray(x0_np, dtype=rd)
+            K = b_np.shape[0]
+            if x0s is None:
+                x0_np = np.zeros_like(b_np)
+            else:
+                x0_np = np.stack(
+                    [np.asarray(x, dtype=np.float64).reshape(-1) for x in x0s]
+                )
+            if self.df:
+                b_in, x_in = df_split(b_np), df_split(x0_np)
+            else:
+                rd = h.fine_hi.dtype
+                b_in = jnp.asarray(b_np, dtype=rd)
+                x_in = jnp.asarray(x0_np, dtype=rd)
 
         t_start = time.perf_counter()
         # Cached jit(vmap(...)): re-running the batching transform per
@@ -725,7 +832,12 @@ class AlgebraicSolver:
             converged.append(bool(done))
             final_norms.append(hist[-1] if hist else float("nan"))
             histories.append(hist)
-        xs = df_merge(x_out) if self.df else np.asarray(x_out, np.float64)
+        if device_native:
+            xs = x_out[0]
+        else:
+            xs = (
+                df_merge(x_out) if self.df else np.asarray(x_out, np.float64)
+            )
         info = {
             "batch": K,
             "cycles": cycles,
@@ -741,6 +853,8 @@ class AlgebraicSolver:
             "outer_loop": "device",
             "solve_time_s": solve_time,
         }
+        if device_native:
+            info["x_df"] = x_out
         return xs, info
 
 

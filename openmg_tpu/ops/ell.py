@@ -39,7 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supports", "pick_tile_rows", "spmv_ell", "detect_slot_offsets"]
+__all__ = [
+    "supports",
+    "pick_tile_rows",
+    "spmv_ell",
+    "spmv_banded_jnp",
+    "prefer_kernel",
+    "detect_slot_offsets",
+]
 
 _LANE = 128
 _VMEM_BUDGET = 24 * 1024 * 1024  # double-buffered in/out blocks
@@ -95,6 +102,38 @@ def supports(M) -> bool:
     if n != m or M.data.dtype != jnp.float32:
         return False
     return pick_tile_rows(n, M.k, M.slot_offsets) is not None
+
+
+def spmv_banded_jnp(data, slot_offsets, x):
+    """Gather-free jnp SpMV of a slot-offset ELL: zero-pad + per-slot
+    static shifted slices (``y[i] = Σ_j data[j,i]·xe[i+d_j+H]``).  XLA
+    fuses the shifted reads; for narrow bands they coalesce into
+    essentially one ``x`` stream."""
+    from jax import lax
+
+    H = max((abs(int(d)) for d in slot_offsets), default=0)
+    n = x.shape[0]
+    xe = jnp.pad(x, (H, H)) if H else x
+    acc = None
+    for j, d in enumerate(slot_offsets):
+        t = data[j] * lax.slice_in_dim(xe, H + int(d), H + int(d) + n)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def prefer_kernel(M) -> bool:
+    """Pallas-DIA vs jnp-shifted-slices dispatch for a banded ELL, from
+    same-process on-chip A/Bs (2026-08-21, scripts/bench_sparse_dist_chip
+    + probe): the kernel reads ~(k+1)·4 B/row vs jnp's ~2k·4 B/row, and
+    wins when the band is WIDE (far slots are separate HBM streams for
+    XLA: 0.63 vs 1.12 ms at 128³ Poisson, H = 128²) and the matrix is
+    big enough to clear the launch floor (64³ flips: 0.87 vs 0.77 ms).
+    Narrow bands fuse into one stream and jnp wins regardless of size
+    (pentadiagonal 4M rows: 1.43 vs 1.99 ms)."""
+    if not supports(M):
+        return False
+    H = max((abs(int(d)) for d in M.slot_offsets), default=0)
+    return H > _LANE and M.shape[0] >= (1 << 20)
 
 
 def _shift_rows(W, s0, ts, b):

@@ -480,6 +480,13 @@ def spmv(M, x: jax.Array) -> jax.Array:
     if isinstance(M, ELLMatrix):
         from openmg_tpu.ops import ell as _ell
 
+        if M.slot_offsets is not None and x.dtype == M.dtype:
+            # banded: NEVER gather (XLA gather is ~750× off roofline on
+            # TPU).  Pallas DIA kernel for big wide-band matrices, jnp
+            # shifted slices otherwise (see ell.prefer_kernel).
+            if _ell.prefer_kernel(M) and x.dtype == jnp.float32:
+                return _ell.spmv_ell(M, x)
+            return _ell.spmv_banded_jnp(M.data, M.slot_offsets, x)
         if _ell.supports(M) and x.dtype == jnp.float32:
             return _ell.spmv_ell(M, x)
         return jnp.sum(M.data * x[M.cols], axis=0)
@@ -513,10 +520,32 @@ def spmv_df(M_hi, M_lo, x_hi, x_lo):
     each term goes through compensated two-f32 products/sums
     (:mod:`openmg_tpu.ops.doublefloat`).
     """
+    from jax import lax
+
     from openmg_tpu.ops.doublefloat import df_add, df_mul
 
     if not isinstance(M_hi, ELLMatrix):
         raise TypeError("spmv_df requires ELL residual operators")
+    if M_hi.slot_offsets is not None:
+        # banded fast path: per-slot static shifted slices of the
+        # zero-padded vector instead of gathers — XLA's gather is ~750×
+        # off the DIA roofline on TPU (ops/ell.py), and this outer
+        # residual runs every defect-correction step.  Values are
+        # identical to the gather path (same slots, same order), so the
+        # compensated arithmetic is bitwise unchanged.
+        n = M_hi.shape[0]
+        H = max(abs(int(d)) for d in M_hi.slot_offsets)
+        xe_h = jnp.pad(x_hi, (H, H)) if H else x_hi
+        xe_l = jnp.pad(x_lo, (H, H)) if H else x_lo
+        acc = None
+        for j, d in enumerate(M_hi.slot_offsets):
+            xs = (
+                lax.slice_in_dim(xe_h, H + int(d), H + int(d) + n),
+                lax.slice_in_dim(xe_l, H + int(d), H + int(d) + n),
+            )
+            term = df_mul((M_hi.data[j], M_lo.data[j]), xs)
+            acc = term if acc is None else df_add(acc, term)
+        return acc
     acc = None
     for j in range(M_hi.k):
         c = M_hi.cols[j]

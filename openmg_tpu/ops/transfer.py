@@ -190,11 +190,14 @@ def _use_matmul(shape, axis: int) -> bool:
     if BACKEND == "slice":
         return False
     # auto: lane/sublane axes on TPU, where strided slice-interleave is a
-    # relayout; leading axes stride cleanly and stay on the slice path
+    # relayout; leading axes stride cleanly and stay on the slice path.
+    # Upper cap: the dense (n, n/2) per-axis matrix is O(n²) — fine for
+    # grid axes (≤ ~1k), ruinous for long flat axes (a 4M-row 1D problem
+    # would ask for 32 TiB), which take the slice path instead.
     return (
         jax.default_backend() == "tpu"
         and axis >= len(shape) - 2
-        and shape[axis] >= 32
+        and 32 <= shape[axis] <= 2048
     )
 
 

@@ -164,9 +164,19 @@ def _spmv_banded_local(data, offsets, H: int, x, axis_name, n_dev: int):
     return acc
 
 
+def _spmv_banded_full(data, offsets, H: int, x):
+    """Gather-free SpMV of a banded REPLICATED level: zero-pad instead of
+    halo exchange (every device holds the full vector — a ring exchange
+    would splice in the wrong rows).  XLA's gather is ~750× off the DIA
+    roofline on TPU (ops/ell.py), so banded levels must never take it."""
+    from openmg_tpu.ops.ell import spmv_banded_jnp
+
+    return spmv_banded_jnp(data, offsets, x)
+
+
 def _spmv_gather(data, cols, x_full):
     """Row-block (or full replicated) ELL SpMV against a FULL source
-    vector — the transfer/replicated-level path (columns arbitrary)."""
+    vector — the transfer/irregular-level path (columns arbitrary)."""
     return jnp.sum(data * x_full[cols], axis=0)
 
 
@@ -232,6 +242,7 @@ def _sdist_cycle(
     fmg,
     axis_name,
     n_dev,
+    geoms=None,
 ):
     """One V/W/FMG cycle; vectors at level ``i`` are local ``(m,)`` blocks
     when ``plan[i]`` else full replicated ``(n,)``.  Unrolls at trace time
@@ -242,6 +253,10 @@ def _sdist_cycle(
         if plan[i]:
             return lambda v: _spmv_banded_local(
                 ld["data"], offsets[i], halos[i], v, axis_name, n_dev
+            )
+        if offsets[i] is not None:
+            return lambda v: _spmv_banded_full(
+                ld["data"], offsets[i], halos[i], v
             )
         return lambda v: _spmv_gather(ld["data"], ld["cols"], v)
 
@@ -260,14 +275,37 @@ def _sdist_cycle(
             omega,
         )
 
+    def _local_rows(v_full, part_dest: bool):
+        """Slice this device's contiguous row block out of a full vector
+        (identity for replicated destinations or 1-device meshes)."""
+        if not part_dest or n_dev == 1:
+            return v_full
+        m = v_full.shape[0] // n_dev
+        idx = lax.axis_index(axis_name)
+        return lax.dynamic_slice_in_dim(v_full, idx * m, m)
+
     def restrict_at(i, rr):
         ld = level_data[i]
         r_full = _gather_full(rr, plan[i], axis_name, n_dev)
+        if geoms is not None and geoms[i] is not None:
+            # separable strided grid transfer (gather-free; same values
+            # as the explicit matrix — core.algebraic._restrict_level)
+            from openmg_tpu.ops.transfer import restrict
+
+            fs, cs, transfer = geoms[i]
+            bc_full = restrict(r_full.reshape(fs), transfer).reshape(-1)
+            return _local_rows(bc_full, plan[i + 1])
         return _spmv_gather(ld["Rd"], ld["Rc"], r_full)
 
     def prolong_at(i, ec):
         ld = level_data[i]
         e_full = _gather_full(ec, plan[i + 1], axis_name, n_dev)
+        if geoms is not None and geoms[i] is not None:
+            from openmg_tpu.ops.transfer import prolong
+
+            fs, cs, transfer = geoms[i]
+            xf_full = prolong(e_full.reshape(cs), fs, transfer).reshape(-1)
+            return _local_rows(xf_full, plan[i])
         return _spmv_gather(ld["Pd"], ld["Pc"], e_full)
 
     def vc(i, b, x):
@@ -303,9 +341,14 @@ def _sdist_residual_df(
     ``parallel.dist._dist_residual_df`` / ``ops.sparse.spmv_df``)."""
     fh, fl = fine["hi"], fine["lo"]
     acc = (b_hi, b_lo)
-    if part:
-        xe_h = _extend(x_hi, H, axis_name, n_dev)
-        xe_l = _extend(x_lo, H, axis_name, n_dev)
+    if part or offsets:
+        if part:
+            xe_h = _extend(x_hi, H, axis_name, n_dev)
+            xe_l = _extend(x_lo, H, axis_name, n_dev)
+        else:  # banded but replicated: zero-pad, never gather (see
+            # _spmv_banded_full)
+            xe_h = jnp.pad(x_hi, (H, H)) if H else x_hi
+            xe_l = jnp.pad(x_lo, (H, H)) if H else x_lo
         m = x_hi.shape[0]
         for j, d in enumerate(offsets):
             xs = (
@@ -460,19 +503,29 @@ class DistributedAlgebraicSolver:
             )
         self.n = hierarchy.n
         L = hierarchy.num_levels
+        # offsets recorded for EVERY banded level (not just partitioned
+        # ones): replicated banded levels take the gather-free padded
+        # formula (_spmv_banded_full) — XLA's gather must never run on a
+        # banded level
         self.offsets_per_level = tuple(
             (
                 tuple(int(d) for d in l.A.slot_offsets)
-                if self.plan[i]
+                if isinstance(l.A, ELLMatrix)
+                and l.A.slot_offsets is not None
                 else None
             )
-            for i, l in enumerate(hierarchy.levels)
+            for l in hierarchy.levels
         )
         self.halos_per_level = tuple(
             _band_halo(o) if o is not None else 0
             for o in self.offsets_per_level
         )
         self.num_colors = tuple(l.num_colors for l in hierarchy.levels)
+        # factor-2 level pairs run the separable strided grid transfers
+        # (no explicit R/P on device); irregular pairs keep the ELL SpMV
+        self._geoms = tuple(
+            hierarchy.geom_transfer(i) for i in range(L - 1)
+        )
         self.fine_offsets = tuple(
             int(d) for d in hierarchy.fine_hi.slot_offsets or ()
         )
@@ -497,13 +550,15 @@ class DistributedAlgebraicSolver:
                     d["colors"], s["colors"] = put(l.colors, P(ax)), P(ax)
             else:
                 d["data"], s["data"] = put(l.A.data, P()), P()
-                d["cols"], s["cols"] = put(l.A.cols, P()), P()
+                if self.offsets_per_level[i] is None:
+                    d["cols"], s["cols"] = put(l.A.cols, P()), P()
                 d["invd"], s["invd"] = put(l.inv_diag, P()), P()
                 if smoother == "rbgs" and l.colors is not None:
                     d["colors"], s["colors"] = put(l.colors, P()), P()
             if smoother == "chebyshev":
                 d["lam"], s["lam"] = put(l.lam_max, P()), P()
-            if i < L - 1:
+            if i < L - 1 and self._geoms[i] is None:
+                # explicit transfer matrices only for non-factor-2 pairs:
                 # R rows = coarse rows (dest layout plan[i+1]); P rows =
                 # fine rows (dest layout plan[i]); cols stay global — the
                 # source vector is always FULL at application time
@@ -523,7 +578,7 @@ class DistributedAlgebraicSolver:
         fine, fs = {}, {}
         fine["hi"], fs["hi"] = put(hierarchy.fine_hi.data, fspec), fspec
         fine["lo"], fs["lo"] = put(hierarchy.fine_lo.data, fspec), fspec
-        if not self.plan[0]:
+        if not self.plan[0] and not self.fine_offsets:
             fine["cols"], fs["cols"] = put(hierarchy.fine_hi.cols, P()), P()
         self.fine = fine
         self._fine_spec = fs
@@ -550,6 +605,7 @@ class DistributedAlgebraicSolver:
             fmg=cfg.cycle_type == "f",
             axis_name=self.axis_name,
             n_dev=self.n_dev,
+            geoms=self._geoms,
         )
         res_kwargs = dict(
             offsets=self.fine_offsets,

@@ -223,3 +223,38 @@ def test_sparse_solve_many_matches_scalar():
         np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xk))
         assert info["cycles"][k] == infok["cycles"]
     assert info["cycles"][1] < info["cycles"][0]
+
+
+def test_device_native_rhs_path():
+    """A flat f32 jax-array rhs takes the device-native path: f32 hi part
+    returned on device, full df pair in info['x_df'] (mirrors
+    core.solver.Solver / the distributed engines)."""
+    import jax
+    import jax.numpy as jnp
+
+    shape = (16, 16)
+    cfg = SolverConfig(transfer="linear", format="ell", gridlevels=3,
+                       max_dense_coarse=4096, cycles=60, threshold=1e-10,
+                       residual_dtype="doublefloat")
+    solver = setup_sparse(poisson(shape), shape, cfg)
+    b = rhs_random(shape, seed=4).ravel()
+    bf = jnp.asarray(b, dtype=jnp.float32)
+    x, info = solver.solve(bf)
+    assert isinstance(x, jax.Array) and x.dtype == jnp.float32
+    assert info["converged"] and "x_df" in info
+    x_full = np.asarray(info["x_df"][0], np.float64) + np.asarray(
+        info["x_df"][1], np.float64
+    )
+    # f32 rhs quantization: compare against the host path on the same b
+    x_ref, _ = solver.solve(np.asarray(bf, np.float64))
+    np.testing.assert_allclose(x_full, x_ref, rtol=0, atol=1e-10)
+
+    # batched device-native: (K, n) f32 array, warm-start batch supported
+    bK = jnp.stack([bf, 2.0 * bf])
+    xs, infom = solver.solve_many(bK)
+    assert isinstance(xs, jax.Array) and xs.shape == (2, 16 * 16)
+    assert all(infom["converged"]) and "x_df" in infom
+    # warm start from the f32 hi parts (lo bits dropped → a short polish,
+    # far fewer cycles than the cold solves)
+    xs2, infom2 = solver.solve_many(bK, x0s=xs)
+    assert max(infom2["cycles"]) < min(infom["cycles"])
