@@ -83,6 +83,13 @@ def main():
         transfer="linear",
         residual_dtype="doublefloat",
         cycles=60,
+        # stop the hierarchy at 16³ with an exact dense coarse solve:
+        # the sub-128³ levels are XLA small-op chains (no Pallas below
+        # nx=128), so dropping two of them measured 78.2 → 70.2 ms/solve
+        # (−10%, same 7 cycles, same-process A/B 2026-08-21) and setup
+        # got FASTER (10.1 → 7.9 s) — fewer level programs outweigh the
+        # 4096² inverse
+        max_dense_coarse=4096,
     )
     solver = setup(shape, cfg)
     t_setup = time.perf_counter() - t0
