@@ -97,7 +97,11 @@ def _fit_tz(
     z = 0 appears only in tile 0's extended slab (at static local index
     ``depth``) — the z-region fix-ups rely on that."""
     nz, ny, nx = shape
-    if nz < 2 or ny < 2 or nx < 128 or nx % 128:
+    # lane dim: multiples of 128, or a full-extent 32/64-lane block (every
+    # BlockSpec here spans the whole lane dim — Mosaic's full-extent rule,
+    # the same one the nx=128 levels' coarse-output blocks rely on); this
+    # admits the 64³/32³ levels to the fused tier
+    if nz < 2 or ny < 2 or not (nx % 128 == 0 or nx in (32, 64)):
         return None
     plane = ny * nx * 4
 
@@ -866,7 +870,7 @@ def _transfer_fusable(shape, transfer) -> bool:
         and all(abs(t) <= 1 for t, _ in transfer.p_taps)
         and nz % 2 == 0
         and ny % 2 == 0
-        and nx % 128 == 0
+        and (nx % 128 == 0 or nx in (32, 64))
         and ny >= 16
         and nz >= 4
     )

@@ -24,7 +24,7 @@ direction is a placeholder for one v5e ICI link — pass your pod's number.
 
 from __future__ import annotations
 
-__all__ = ["comm_model"]
+__all__ = ["comm_model", "comm_model_sparse"]
 
 
 def comm_model(
@@ -158,6 +158,107 @@ def comm_model(
     hbm_bytes += 8 * fine_local
     if plan[0]:
         halo_bytes += 6 * 4 * (fine_elems // int(fine_shape[0]))
+
+    t_comp = cycles * hbm_bytes / hbm_bytes_per_s
+    t_comm = cycles * halo_bytes / ici_bytes_per_s
+    return {
+        "per_level": per_level,
+        "halo_bytes_per_cycle": halo_bytes,
+        "hbm_bytes_per_cycle": hbm_bytes,
+        "comm_fraction_no_overlap": (
+            t_comm / (t_comp + t_comm) if t_comp + t_comm else 0.0
+        ),
+        "efficiency_bound_overlap": (
+            t_comp / max(t_comp, t_comm) if t_comp else 1.0
+        ),
+        "efficiency_bound_no_overlap": (
+            t_comp / (t_comp + t_comm) if t_comp + t_comm else 1.0
+        ),
+        "assumed_hbm_bytes_per_s": hbm_bytes_per_s,
+        "assumed_ici_bytes_per_s": ici_bytes_per_s,
+    }
+
+
+def comm_model_sparse(
+    solver,
+    ici_bytes_per_s: float = 4.5e10,
+    hbm_bytes_per_s: float = 8.19e11,
+    cycles: int = 1,
+):
+    """Per-V-cycle halo-bytes / HBM-bytes accounting for a
+    :class:`~openmg_tpu.parallel.sparse_dist.DistributedAlgebraicSolver`
+    (the banded general-sparse engine), with the same efficiency bounds
+    as :func:`comm_model`.
+
+    Dispatch mirror (parallel/sparse_dist.py): every ``Ax`` on a
+    partitioned level exchanges two ``H``-row f32 slabs (one ring hop
+    each way); smoothing applies ``Ax`` once per Jacobi iteration, once
+    per color per multicolor-GS iteration, and ``iterations`` times for
+    Chebyshev; the level residual is one more ``Ax``.  Transfers
+    all-gather the full source vector (each device receives
+    ``(n_dev−1)/n_dev`` of it) whenever the source level is partitioned;
+    restriction gathers the fine vector, prolongation the coarse one.
+    The outer df residual exchanges (x_hi, x_lo) slab pairs once per
+    cycle.  HBM charges the banded streams: ``k`` data planes + x + b +
+    out per ``Ax`` pass (~(k+3)·4 B/row), all per device per cycle.
+    """
+    cfg = solver.config
+    plan = solver.plan
+    n_dev = solver.n_dev
+    pre, post = cfg.pre_iterations, cfg.post_iterations
+    per_level = []
+    halo_bytes = 0.0
+    hbm_bytes = 0.0
+    num_levels = solver.hierarchy.num_levels
+
+    def ax_per_smooth(iters, lvl):
+        if iters <= 0:
+            return 0
+        if cfg.smoother == "rbgs":
+            nc = max(solver.num_colors[lvl], 1)
+            return iters * nc
+        return iters  # jacobi / chebyshev: one Ax per iteration
+
+    for lvl in range(num_levels):
+        n, k, _ = solver.stats[lvl]
+        n = int(n)
+        k = max(int(k), 1)
+        local_rows = n // (n_dev if plan[lvl] else 1)
+        last = lvl == num_levels - 1
+        lv_halo = 0.0
+        if last:
+            lv_hbm = 4.0 * 2 * local_rows  # replicated dense solve in/out
+        else:
+            n_ax = ax_per_smooth(pre, lvl) + ax_per_smooth(post, lvl) + 1
+            lv_hbm = n_ax * (k + 3) * 4.0 * local_rows
+            if plan[lvl]:
+                H = solver.halos_per_level[lvl]
+                lv_halo += n_ax * 2 * H * 4.0
+                # restriction all-gathers the fine residual
+                lv_halo += 4.0 * n * (n_dev - 1) / n_dev
+                # separable transfers stream ~2 passes over the gathered
+                # vector; matrix transfers similar order
+                lv_hbm += 2 * 4.0 * n
+            else:
+                lv_hbm += 2 * 4.0 * n
+            # prolongation gathers the coarse correction when partitioned
+            if lvl + 1 < num_levels and plan[lvl + 1]:
+                nc_rows = int(solver.stats[lvl + 1][0])
+                lv_halo += 4.0 * nc_rows * (n_dev - 1) / n_dev
+        per_level.append(
+            {"level": lvl, "rows": n, "partitioned": bool(plan[lvl]),
+             "halo_bytes": lv_halo, "hbm_bytes": lv_hbm}
+        )
+        halo_bytes += lv_halo
+        hbm_bytes += lv_hbm
+
+    # outer df residual: k hi+lo data planes + 4 vectors, plus the
+    # (x_hi, x_lo) halo slab pairs
+    n0, k0, _ = solver.stats[0]
+    rows0 = int(n0) // (n_dev if plan[0] else 1)
+    hbm_bytes += (2 * max(int(k0), 1) + 4) * 4.0 * rows0
+    if plan[0]:
+        halo_bytes += 2 * 2 * solver.fine_halo * 4.0
 
     t_comp = cycles * hbm_bytes / hbm_bytes_per_s
     t_comm = cycles * halo_bytes / ici_bytes_per_s

@@ -246,3 +246,30 @@ def test_algebraic_solve_many_program_cached():
     np.testing.assert_allclose(xs[0], x0, rtol=0, atol=1e-9)
     solver.solve_many(bs)
     assert solver._solve_many_prog is prog
+
+
+def test_comm_model_sparse_accounting():
+    """Static halo/HBM accounting for the distributed sparse engine
+    (parallel/model.py::comm_model_sparse): partitioned levels report
+    positive halo bytes, halo traffic scales with the band halo, and the
+    efficiency bounds are in (0, 1]."""
+    from openmg_tpu.parallel.model import comm_model_sparse
+
+    solver = setup_sparse_distributed(pentadiag(4096), (4096,), _cfg())
+    m = comm_model_sparse(solver)
+    assert m["halo_bytes_per_cycle"] > 0
+    assert m["hbm_bytes_per_cycle"] > 0
+    assert 0 < m["efficiency_bound_no_overlap"] <= 1
+    assert 0 < m["efficiency_bound_overlap"] <= 1
+    assert m["efficiency_bound_overlap"] >= m["efficiency_bound_no_overlap"]
+    lv0 = m["per_level"][0]
+    assert lv0["partitioned"] and lv0["halo_bytes"] > 0
+    assert m["per_level"][-1]["halo_bytes"] == 0.0  # replicated coarsest
+
+    # wide-band 3D Poisson: halo traffic per Ax is 2·H rows, so the 3D
+    # fine level (H = 16²) must dwarf the pentadiagonal one (H = 2)
+    s3 = setup_sparse_distributed(poisson((16, 16, 16)), (16, 16, 16), _cfg())
+    m3 = comm_model_sparse(s3)
+    assert (
+        m3["per_level"][0]["halo_bytes"] > lv0["halo_bytes"]
+    )
