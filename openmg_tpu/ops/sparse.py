@@ -534,7 +534,7 @@ def spmv_df(M_hi, M_lo, x_hi, x_lo):
         # identical to the gather path (same slots, same order), so the
         # compensated arithmetic is bitwise unchanged.
         n = M_hi.shape[0]
-        H = max(abs(int(d)) for d in M_hi.slot_offsets)
+        H = max((abs(int(d)) for d in M_hi.slot_offsets), default=0)
         xe_h = jnp.pad(x_hi, (H, H)) if H else x_hi
         xe_l = jnp.pad(x_lo, (H, H)) if H else x_lo
         acc = None

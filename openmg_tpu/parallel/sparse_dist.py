@@ -742,9 +742,20 @@ class DistributedAlgebraicSolver:
             b_lo = jnp.zeros_like(b_hi)
             if x0s is None:
                 x_hi, x_lo = jnp.zeros_like(b_hi), jnp.zeros_like(b_hi)
-            else:
+            elif isinstance(x0s, jax.Array) and x0s.dtype == jnp.float32:
                 x_hi = jax.device_put(x0s.reshape(K, -1), sh)
                 x_lo = jnp.zeros_like(b_hi)
+            else:
+                # mixed case (host/f64 x0s with a device f32 batch):
+                # df-split on host like AlgebraicSolver.solve_many does —
+                # a raw .reshape on a list raises, and f64 jax x0s would
+                # push an f64 x_hi into the f32 shard_map program.
+                x0_np = np.stack(
+                    [np.asarray(x, dtype=np.float64).reshape(-1) for x in x0s]
+                )
+                xh_np, xl_np = df_split(x0_np)
+                x_hi = jax.device_put(xh_np, sh)
+                x_lo = jax.device_put(xl_np, sh)
         else:
             b_np = np.stack(
                 [np.asarray(b, dtype=np.float64).reshape(-1) for b in bs]

@@ -233,6 +233,25 @@ def test_solve_many_matches_scalar_and_caches():
     assert solver._solve_many_prog is prog
 
 
+def test_solve_many_device_batch_with_host_x0s():
+    """Device-native f32 batch + host/f64 x0 list: the x0s must be
+    df-split on host (mirrors AlgebraicSolver.solve_many), not reshaped
+    as if they were a jax array."""
+    A, shape = pentadiag(1024), (1024,)
+    solver = setup_sparse_distributed(A, shape, _cfg())
+    bs_np = np.stack(
+        [rhs_random(shape, seed=s).reshape(-1) for s in range(2)]
+    )
+    bs = jnp.asarray(bs_np, dtype=jnp.float32)
+    x0s = [np.zeros(shape[0]), rhs_random(shape, seed=9).reshape(-1)]
+    xs, info = solver.solve_many(bs, x0s=x0s)
+    assert isinstance(xs, jax.Array) and xs.dtype == jnp.float32
+    xs_ref, _ = solver.solve_many(bs)  # zero x0 fixed point is the same
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(xs_ref), rtol=0, atol=1e-6
+    )
+
+
 def test_algebraic_solve_many_program_cached():
     """Single-device AlgebraicSolver.solve_many caches its jit(vmap)
     program too (the per-call vmap retrace trap, CLAUDE.md r4)."""
