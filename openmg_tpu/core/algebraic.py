@@ -151,7 +151,7 @@ class SparseLevel:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("levels", "coarse_inv", "fine_hi", "fine_lo"),
-    meta_fields=("stats", "fmt", "shapes", "transfer_name"),
+    meta_fields=("stats", "fmt", "shapes", "transfer_name", "dofs"),
 )
 @dataclasses.dataclass(frozen=True)
 class SparseHierarchy:
@@ -168,6 +168,10 @@ class SparseHierarchy:
     # matrix.  None (legacy/hand-built hierarchies) keeps the SpMV path.
     shapes: tuple | None = None
     transfer_name: str | None = None
+    # dofs per node (vector PDEs — models/elasticity.py): transfers are
+    # node transfers ⊗ I_dofs; the separable geometric fast path below is
+    # scalar-only, so dofs > 1 keeps the explicit-SpMV transfer path.
+    dofs: int = 1
 
     @property
     def num_levels(self) -> int:
@@ -181,7 +185,7 @@ class SparseHierarchy:
         """The ``(fine_shape, coarse_shape, Transfer)`` triple when level →
         level+1 can run the separable strided grid transfers (every axis
         either halves exactly or is a kept size-1 axis), else None."""
-        if self.shapes is None or self.transfer_name is None:
+        if self.shapes is None or self.transfer_name is None or self.dofs != 1:
             return None
         if level >= len(self.shapes) - 1:
             return None
@@ -212,18 +216,31 @@ def build_sparse_hierarchy(
     max_dense_coarse: int = 512,
     blocksize: int = 4,
     smoother: str = "jacobi",
+    dofs: int = 1,
 ) -> SparseHierarchy:
     """Host-side setup: explicit R/P chain, scipy-SpGEMM Galerkin RAP,
-    conversion to padded-static-nnz device containers (SURVEY.md T1/T6)."""
+    conversion to padded-static-nnz device containers (SURVEY.md T1/T6).
+
+    ``dofs`` > 1 treats ``shape`` as the NODE grid of a vector PDE with
+    that many unknowns per node (node-major, dof-minor ordering):
+    transfers become the block transfers ``R_node ⊗ I_dofs``, which keep
+    the Galerkin-coarsened operators block-structured with the same
+    blocksize — the natural pairing with ``fmt='bsr'``
+    (models/elasticity.py)."""
     import scipy.sparse as sp
 
     from openmg_tpu.utils.oracle import max_gridlevels
 
     shape = tuple(int(s) for s in shape)
-    n = int(np.prod(shape))
+    dofs = int(dofs)
+    if dofs < 1:
+        raise ValueError(f"dofs must be >= 1, got {dofs}")
+    n = dofs * int(np.prod(shape))
     A = sp.csr_matrix(A).astype(np.float64)
     if A.shape != (n, n):
-        raise ValueError(f"matrix shape {A.shape} != grid {shape} ({n} points)")
+        raise ValueError(
+            f"matrix shape {A.shape} != grid {shape} × {dofs} dofs ({n} rows)"
+        )
     transfer = TRANSFERS[transfer_name]
 
     if gridlevels is None:
@@ -231,7 +248,7 @@ def build_sparse_hierarchy(
         s, cnt = list(shape), n
         while cnt > max_dense_coarse and gridlevels < max_gridlevels(shape):
             s = [max(1, v // 2) for v in s]
-            cnt = int(np.prod(s))
+            cnt = dofs * int(np.prod(s))
             gridlevels += 1
     gridlevels = min(int(gridlevels), max_gridlevels(shape))
 
@@ -242,6 +259,10 @@ def build_sparse_hierarchy(
         s = shapes[-1]
         R = weighted_restriction(s, transfer.r_taps)
         P = weighted_prolongation(s, transfer.p_taps)
+        if dofs > 1:
+            I = sp.eye(dofs, format="csr")
+            R = sp.kron(R, I, format="csr")
+            P = sp.kron(P, I, format="csr")
         Rs.append(R)
         Ps.append(P)
         As.append((R @ As[-1] @ P).tocsr())
@@ -289,7 +310,9 @@ def build_sparse_hierarchy(
             Adev = from_scipy(Al, fmt, dtype=dtype)
         colors_np = None
         if smoother == "rbgs":
-            colors_np = parity_colors(Al, shapes[lvl])
+            colors_np = (
+                parity_colors(Al, shapes[lvl]) if dofs == 1 else None
+            )
             if colors_np is None:
                 colors_np = greedy_colors(Al)
         # R/P stored in ELL regardless of the cycle format (rectangular,
@@ -339,6 +362,7 @@ def build_sparse_hierarchy(
         fmt=fmt,
         shapes=tuple(tuple(int(v) for v in s) for s in shapes),
         transfer_name=transfer_name,
+        dofs=dofs,
     )
 
 
@@ -472,9 +496,64 @@ def _sparse_cycle_impl(
     )
 
 
+def _sparse_pcg_impl(
+    hierarchy, r0, *, iters, pre, post, smoother, cycle_type, omega
+):
+    """``iters`` MG-preconditioned CG steps on ``A e = r0`` from zero —
+    the general-sparse mirror of ``core.cycle.pcg_solve`` (one SpMV on
+    the fine level operator + one cycle per step, static trip count)."""
+    A0 = hierarchy.levels[0].A
+    r32 = r0.astype(hierarchy.levels[0].inv_diag.dtype)
+
+    def precond(rr):
+        return _sparse_cycle_impl(
+            hierarchy, rr, pre=pre, post=post, smoother=smoother,
+            cycle_type=cycle_type, omega=omega,
+        )
+
+    e = jnp.zeros_like(r32)
+    r = r32
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    for it in range(iters):
+        Ap = spmv(A0, p)
+        alpha = rz / jnp.sum(p * Ap)
+        e = e + alpha * p
+        if it == iters - 1:
+            break
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / rz
+        rz = rz_new
+        p = z + beta * p
+    return e
+
+
+def _sparse_error_impl(
+    hierarchy, r, *,
+    pre, post, smoother, cycle_type, omega,
+    krylov="none", krylov_iters=2,
+):
+    """Inner error solve: pure cycle or MG-preconditioned CG."""
+    if krylov == "pcg":
+        return _sparse_pcg_impl(
+            hierarchy, r, iters=krylov_iters, pre=pre, post=post,
+            smoother=smoother, cycle_type=cycle_type, omega=omega,
+        )
+    return _sparse_cycle_impl(
+        hierarchy, r, pre=pre, post=post, smoother=smoother,
+        cycle_type=cycle_type, omega=omega,
+    )
+
+
 _sparse_cycle_step = jax.jit(
-    _sparse_cycle_impl,
-    static_argnames=("pre", "post", "smoother", "cycle_type", "omega"),
+    _sparse_error_impl,
+    static_argnames=(
+        "pre", "post", "smoother", "cycle_type", "omega",
+        "krylov", "krylov_iters",
+    ),
 )
 
 
@@ -504,10 +583,13 @@ _sparse_residual = jax.jit(_sparse_residual_t)
         "cycle_type",
         "omega",
         "df",
+        "krylov",
+        "krylov_iters",
     ),
 )
 def _sparse_solve_device(
-    h, b, x, *, limit, threshold, pre, post, smoother, cycle_type, omega, df
+    h, b, x, *, limit, threshold, pre, post, smoother, cycle_type, omega, df,
+    krylov="none", krylov_iters=2,
 ):
     """Whole-solve device program for the sparse engine — same structure
     as core.solver._solve_device (one dispatch per solve; see its
@@ -521,7 +603,7 @@ def _sparse_solve_device(
         return _sparse_residual_t(h.fine_hi, b, xx)
 
     def apply_cycle(xx, r):
-        e = _sparse_cycle_impl(
+        e = _sparse_error_impl(
             h,
             r,
             pre=pre,
@@ -529,6 +611,8 @@ def _sparse_solve_device(
             smoother=smoother,
             cycle_type=cycle_type,
             omega=omega,
+            krylov=krylov,
+            krylov_iters=krylov_iters,
         )
         if df:
             return df_add_f32(xx, e)
@@ -573,11 +657,9 @@ class AlgebraicSolver:
     per-cycle residual history) on flat vectors."""
 
     def __init__(self, hierarchy: SparseHierarchy, config: SolverConfig):
-        if config.krylov not in (None, "none"):
+        if config.krylov not in (None, "none", "pcg"):
             raise ValueError(
-                f"krylov={config.krylov!r} is implemented only by the "
-                "stencil engine (core.solver); the general-sparse engine "
-                "runs pure multigrid (krylov='none')"
+                f"unknown krylov {config.krylov!r}; choose none|pcg"
             )
         self.hierarchy = hierarchy
         self.config = config
@@ -589,6 +671,8 @@ class AlgebraicSolver:
             smoother=config.smoother,
             cycle_type=config.cycle_type,
             omega=config.omega,
+            krylov=config.krylov or "none",
+            krylov_iters=config.krylov_iters,
         )
 
     @property
@@ -648,6 +732,8 @@ class AlgebraicSolver:
                 cycle_type=cfg.cycle_type,
                 omega=cfg.omega,
                 df=self.df,
+                krylov=cfg.krylov or "none",
+                krylov_iters=cfg.krylov_iters,
             )
             k_fin, history, done = unpack_solve_meta(meta)
             solve_time = time.perf_counter() - t_start
@@ -811,6 +897,8 @@ class AlgebraicSolver:
                 cycle_type=cfg.cycle_type,
                 omega=cfg.omega,
                 df=self.df,
+                krylov=cfg.krylov or "none",
+                krylov_iters=cfg.krylov_iters,
             )
             self._solve_many_prog = jax.jit(
                 jax.vmap(
@@ -858,9 +946,14 @@ class AlgebraicSolver:
         return xs, info
 
 
-def setup_sparse(A, shape, config: SolverConfig | None = None) -> AlgebraicSolver:
+def setup_sparse(
+    A, shape, config: SolverConfig | None = None, *, dofs: int = 1
+) -> AlgebraicSolver:
     """Build an :class:`AlgebraicSolver` for an arbitrary sparse SPD ``A``
-    over the grid ``shape`` (the general engine behind ``mg_solve``)."""
+    over the grid ``shape`` (the general engine behind ``mg_solve``).
+    ``dofs`` > 1 marks a vector PDE with that many unknowns per node
+    (block transfers; pair with ``format='bsr'`` and
+    ``blocksize=dofs`` — see models/elasticity.py)."""
     config = config or SolverConfig()
     fmt = config.format if config.format not in (None, "auto", "stencil") else "ell"
     rmode = (
@@ -879,5 +972,6 @@ def setup_sparse(A, shape, config: SolverConfig | None = None) -> AlgebraicSolve
         max_dense_coarse=config.max_dense_coarse,
         blocksize=config.blocksize,
         smoother=config.smoother,
+        dofs=dofs,
     )
     return AlgebraicSolver(hierarchy, config)

@@ -252,9 +252,10 @@ def _dist_v_cycle(
                 )
             # varying levels (the diffusion family) run the vary Pallas
             # kernels with boundary epilogues when the overlapped scheme
-            # is on; chebyshev keeps the jnp path (its λ_max pmax lives
-            # there), as does overlap=False (the reference exchange path)
-            if overlap and smoother in ("jacobi", "rbgs"):
+            # is on (all three smoothers — chebyshev pmaxes λ_max inside
+            # smooth_part_vary); overlap=False keeps the reference
+            # exchange path
+            if overlap and smoother in ("jacobi", "rbgs", "chebyshev"):
                 return fast.smooth_part_vary(
                     smoother, op, inv_diag_at(level), b, x, iters, omega,
                     axis_name, n_dev,
@@ -377,6 +378,95 @@ def _dist_v_cycle(
     return x
 
 
+def _dist_pcg(level_data, coarse_inv, r0, *, iters, cycle_kwargs):
+    """Distributed MG-preconditioned CG on ``A e = r0`` from zero —
+    the shard_map mirror of ``core.cycle.pcg_solve`` (SURVEY.md §2B
+    T7/T16 engine symmetry).  One ``_dist_v_cycle`` preconditioner
+    application and one partitioned fine-level SpMV per step; the three
+    CG inner products each cost one ``lax.psum`` scalar reduction, so
+    the added communication per step is negligible next to the cycle's
+    halo traffic.  Static trip count — trace-unrolls into the solve
+    program like the single-device version."""
+    from openmg_tpu.ops.stencil import CorneredOperator
+    from openmg_tpu.ops.stencil import apply as stencil_apply
+    from openmg_tpu.parallel import fast
+
+    kinds = cycle_kwargs["kinds"]
+    plan = cycle_kwargs["plan"]
+    offsets = cycle_kwargs["offsets_per_level"][0]
+    subsets = cycle_kwargs["subsets_per_level"][0]
+    axis_name = cycle_kwargs["axis_name"]
+    n_dev = cycle_kwargs["n_dev"]
+    overlap = cycle_kwargs.get("overlap", True)
+    data = level_data[0]
+
+    def op0(shape):
+        if kinds[0] == "const":
+            return StencilOperator(None, offsets, data[0], tuple(shape))
+        if kinds[0] == "corner":
+            return CorneredOperator(
+                data[0], data[1], offsets, tuple(shape), subsets
+            )
+        return StencilOperator(data[0], offsets)
+
+    def apply_A(p):
+        op = op0(p.shape)
+        if plan[0]:
+            # A·p as -(0 - A·p) through the partitioned residual kernels
+            # (in-kernel halo planes — the same fast tier the cycle uses)
+            if kinds[0] in ("const", "corner"):
+                return -fast.residual_part(
+                    op, jnp.zeros_like(p), p, axis_name, n_dev
+                )
+            if overlap:
+                return -fast.residual_part_vary(
+                    op, jnp.zeros_like(p), p, axis_name, n_dev
+                )
+            return _apply_dist(op, p, axis_name, n_dev, overlap)
+        return stencil_apply(op, p)
+
+    def pdot(a, b):
+        s = jnp.sum(a * b)
+        if plan[0] and n_dev > 1:
+            s = lax.psum(s, axis_name)
+        return s
+
+    def precond(rr):
+        return _dist_v_cycle(level_data, coarse_inv, rr, **cycle_kwargs)
+
+    e = jnp.zeros_like(r0)
+    r = r0
+    z = precond(r)
+    p = z
+    rz = pdot(r, z)
+    for it in range(iters):
+        Ap = apply_A(p)
+        alpha = rz / pdot(p, Ap)
+        e = e + alpha * p
+        if it == iters - 1:
+            break
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = pdot(r, z)
+        beta = rz_new / rz
+        rz = rz_new
+        p = z + beta * p
+    return e
+
+
+def _dist_error_solve(
+    level_data, coarse_inv, r, *, krylov, krylov_iters, cycle_kwargs
+):
+    """Inner error solve ``e ≈ A⁻¹ r``: pure MG cycle, or krylov_iters
+    MG-preconditioned CG steps (mirrors ``core.solver._error_solve``)."""
+    if krylov == "pcg":
+        return _dist_pcg(
+            level_data, coarse_inv, r,
+            iters=krylov_iters, cycle_kwargs=cycle_kwargs,
+        )
+    return _dist_v_cycle(level_data, coarse_inv, r, **cycle_kwargs)
+
+
 def _dist_residual_df(
     c_hi,
     c_lo,
@@ -435,6 +525,8 @@ def _dist_solve_loop(
     cycle_kwargs,
     fused_terms=None,
     fine_offsets=None,
+    krylov="none",
+    krylov_iters=2,
 ):
     """Whole-solve loop, per-device body under shard_map: residuals, the
     distributed V-cycle, the convergence check, and the history are all one
@@ -468,7 +560,11 @@ def _dist_solve_loop(
 
         def fbody(st):
             (xh, xl), r, k, hist, _ = st
-            e = _dist_v_cycle(level_data, coarse_inv, r, **cycle_kwargs)
+            e = _dist_error_solve(
+                level_data, coarse_inv, r,
+                krylov=krylov, krylov_iters=krylov_iters,
+                cycle_kwargs=cycle_kwargs,
+            )
             xh, xl, r2 = _kernels.df_update_residual_const_3d(
                 fine_offsets, fused_terms, xh, xl, e, b_hi, b_lo,
                 halos=(
@@ -509,7 +605,11 @@ def _dist_solve_loop(
 
         def run(ops):
             xh_, xl_, r_ = ops
-            e = _dist_v_cycle(level_data, coarse_inv, r_, **cycle_kwargs)
+            e = _dist_error_solve(
+                level_data, coarse_inv, r_,
+                krylov=krylov, krylov_iters=krylov_iters,
+                cycle_kwargs=cycle_kwargs,
+            )
             return df_add_f32((xh_, xl_), e)
 
         xh, xl = lax.cond(
@@ -591,11 +691,9 @@ class DistributedSolver:
             raise ValueError(
                 f"unknown cycle_type {config.cycle_type!r}; choose v|w|f"
             )
-        if config.krylov not in (None, "none"):
+        if config.krylov not in (None, "none", "pcg"):
             raise ValueError(
-                f"krylov={config.krylov!r} is implemented only by the "
-                "stencil engine (core.solver); the distributed engine "
-                "runs pure multigrid (krylov='none')"
+                f"unknown krylov {config.krylov!r}; choose none|pcg"
             )
         self.config = config
         self.mesh_config = mesh_config or MeshConfig()
@@ -749,7 +847,12 @@ class DistributedSolver:
             gamma={"v": 1, "w": 2, "f": 1}[cfg.cycle_type],
             fmg=cfg.cycle_type == "f",
         )
-        cycle_impl = functools.partial(_dist_v_cycle, **cycle_kwargs)
+        cycle_impl = functools.partial(
+            _dist_error_solve,
+            krylov=cfg.krylov or "none",
+            krylov_iters=cfg.krylov_iters,
+            cycle_kwargs=cycle_kwargs,
+        )
         self._cycle = jax.jit(
             jax.shard_map(
                 cycle_impl,
@@ -822,6 +925,8 @@ class DistributedSolver:
             cycle_kwargs=cycle_kwargs,
             fused_terms=self._exact_terms if use_fused else None,
             fine_offsets=fine_offsets if use_fused else None,
+            krylov=cfg.krylov or "none",
+            krylov_iters=cfg.krylov_iters,
         )
         self._solve_loop = jax.jit(
             jax.shard_map(

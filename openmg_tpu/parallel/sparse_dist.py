@@ -24,8 +24,15 @@ analog of the stencil tier's shifted halo-extended planes,
 :mod:`openmg_tpu.parallel.halo`).  The Poisson/diffusion family, 1D/2D/3D
 grid operators under flat indexing, and any band matrix all qualify; their
 Galerkin coarsenings (R·A·P of banded with geometric taps) stay banded, so
-whole hierarchies partition.  Matrices with irregular sparsity stay on the
-single-device engine (:class:`openmg_tpu.core.algebraic.AlgebraicSolver`).
+whole hierarchies partition.  Matrices with **irregular** sparsity
+partition on the *gathered-x tier* (VERDICT r4 task 7): rows/data/cols
+shard contiguously and every SpMV all-gathers the source vector first —
+the same collective the transfers already pay.  Cost note: the gather
+moves the full vector per SpMV application (per color for multicolor GS),
+so the tier saves compute (k·m vs k·n MACs per device) but not smoother
+bandwidth; it exists for capability-surface completeness and for
+hierarchies whose fine level is banded but whose Galerkin levels go
+irregular — the per-level plan mixes tiers freely.
 
 Per level, the partition plan mirrors the stencil tier
 (:func:`openmg_tpu.parallel.dist.partition_plan`): a level is partitioned
@@ -102,13 +109,18 @@ def sparse_partition_plan(
 ) -> tuple:
     """Which levels run row-partitioned (True) vs replicated (False).
 
-    A level partitions iff its operator is banded ELL (``slot_offsets``
-    set), its row count divides ``n_dev``, and the local block holds at
-    least ``max(H, min_rows_per_device)`` rows so the halo slab fits in
-    one ring hop.  The coarsest level is always replicated (dense solve).
-    ``force=True`` (``MeshConfig.force_partition``) keeps levels
-    partitioned on a 1-device mesh — the on-chip pod-program validation
-    mode of the stencil tier (core/config.py).
+    A banded level (``slot_offsets`` set) partitions iff its row count
+    divides ``n_dev`` and the local block holds at least
+    ``max(H, min_rows_per_device)`` rows so the halo slab fits in one
+    ring hop.  An **irregular** ELL level (no slot offsets) partitions on
+    the gathered-x tier (VERDICT r4 task 7): rows/data/cols shard, and
+    each SpMV all-gathers the source vector first — the same collective
+    the transfers already pay, so the smoother's marginal cost is the
+    per-application gather (see the module docstring's cost note).  The
+    coarsest level is always replicated (dense solve).  ``force=True``
+    (``MeshConfig.force_partition``) keeps levels partitioned on a
+    1-device mesh — the on-chip pod-program validation mode of the
+    stencil tier (core/config.py).
     """
     L = hierarchy.num_levels
     plan = []
@@ -117,22 +129,22 @@ def sparse_partition_plan(
             (n_dev > 1 or force)
             and i < L - 1
             and isinstance(l.A, ELLMatrix)
-            and l.A.slot_offsets is not None
             and l.n % n_dev == 0
         )
         if ok:
             m = l.n // n_dev
-            H = _band_halo(l.A.slot_offsets)
-            ok = m >= max(H, min_rows_per_device, 1)
+            if l.A.slot_offsets is not None:
+                H = _band_halo(l.A.slot_offsets)
+                ok = m >= max(H, min_rows_per_device, 1)
+            else:
+                ok = m >= max(min_rows_per_device, 1)
         if ok and i == 0:
             # the outer double-float residual runs on the fine operator's
-            # own (full-precision-split) ELL — it must be banded too, with
-            # a halo that fits the local block
+            # own (full-precision-split) ELL: banded needs a halo that
+            # fits the local block; irregular takes the gathered path
             fh = hierarchy.fine_hi
-            ok = (
-                fh.slot_offsets is not None
-                and l.n // n_dev >= _band_halo(fh.slot_offsets)
-            )
+            if fh.slot_offsets is not None:
+                ok = l.n // n_dev >= _band_halo(fh.slot_offsets)
         plan.append(bool(ok))
     return tuple(plan)
 
@@ -251,8 +263,15 @@ def _sdist_cycle(
     def Ax_at(i):
         ld = level_data[i]
         if plan[i]:
-            return lambda v: _spmv_banded_local(
-                ld["data"], offsets[i], halos[i], v, axis_name, n_dev
+            if offsets[i] is not None:
+                return lambda v: _spmv_banded_local(
+                    ld["data"], offsets[i], halos[i], v, axis_name, n_dev
+                )
+            # gathered-x tier: irregular partitioned level — local rows
+            # of data/cols against the all-gathered source vector
+            return lambda v: _spmv_gather(
+                ld["data"], ld["cols"],
+                _gather_full(v, True, axis_name, n_dev),
             )
         if offsets[i] is not None:
             return lambda v: _spmv_banded_full(
@@ -333,6 +352,71 @@ def _sdist_cycle(
     return vc(0, r, jnp.zeros_like(r))
 
 
+def _sdist_pcg(level_data, coarse_inv, r0, *, iters, cycle_kwargs):
+    """Distributed MG-preconditioned CG on the general-sparse engine —
+    mirrors ``parallel.dist._dist_pcg``: one cycle + one fine-level SpMV
+    per step, inner products psum'd across the row partition."""
+    plan = cycle_kwargs["plan"]
+    offsets = cycle_kwargs["offsets"]
+    halos = cycle_kwargs["halos"]
+    axis_name = cycle_kwargs["axis_name"]
+    n_dev = cycle_kwargs["n_dev"]
+    ld = level_data[0]
+
+    def apply_A(v):
+        if plan[0]:
+            if offsets[0] is not None:
+                return _spmv_banded_local(
+                    ld["data"], offsets[0], halos[0], v, axis_name, n_dev
+                )
+            return _spmv_gather(
+                ld["data"], ld["cols"],
+                _gather_full(v, True, axis_name, n_dev),
+            )
+        if offsets[0] is not None:
+            return _spmv_banded_full(ld["data"], offsets[0], halos[0], v)
+        return _spmv_gather(ld["data"], ld["cols"], v)
+
+    def pdot(a, b):
+        s = jnp.sum(a * b)
+        if plan[0] and n_dev > 1:
+            s = lax.psum(s, axis_name)
+        return s
+
+    def precond(rr):
+        return _sdist_cycle(level_data, coarse_inv, rr, **cycle_kwargs)
+
+    e = jnp.zeros_like(r0)
+    r = r0
+    z = precond(r)
+    p = z
+    rz = pdot(r, z)
+    for it in range(iters):
+        Ap = apply_A(p)
+        alpha = rz / pdot(p, Ap)
+        e = e + alpha * p
+        if it == iters - 1:
+            break
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = pdot(r, z)
+        beta = rz_new / rz
+        rz = rz_new
+        p = z + beta * p
+    return e
+
+
+def _sdist_error_solve(
+    level_data, coarse_inv, r, *, krylov, krylov_iters, cycle_kwargs
+):
+    if krylov == "pcg":
+        return _sdist_pcg(
+            level_data, coarse_inv, r,
+            iters=krylov_iters, cycle_kwargs=cycle_kwargs,
+        )
+    return _sdist_cycle(level_data, coarse_inv, r, **cycle_kwargs)
+
+
 def _sdist_residual_df(
     fine, b_hi, b_lo, x_hi, x_lo, *, offsets, H, part, axis_name, n_dev
 ):
@@ -341,7 +425,7 @@ def _sdist_residual_df(
     ``parallel.dist._dist_residual_df`` / ``ops.sparse.spmv_df``)."""
     fh, fl = fine["hi"], fine["lo"]
     acc = (b_hi, b_lo)
-    if part or offsets:
+    if offsets:
         if part:
             xe_h = _extend(x_hi, H, axis_name, n_dev)
             xe_l = _extend(x_lo, H, axis_name, n_dev)
@@ -357,10 +441,14 @@ def _sdist_residual_df(
             )
             acc = df_sub(acc, df_mul((fh[j], fl[j]), xs))
     else:
+        # irregular: gathered-x tier when partitioned (fine["cols"] holds
+        # this device's rows with global column ids), plain when full
         cols = fine["cols"]
+        xh_full = _gather_full(x_hi, part, axis_name, n_dev)
+        xl_full = _gather_full(x_lo, part, axis_name, n_dev)
         for j in range(fh.shape[0]):
             c = cols[j]
-            acc = df_sub(acc, df_mul((fh[j], fl[j]), (x_hi[c], x_lo[c])))
+            acc = df_sub(acc, df_mul((fh[j], fl[j]), (xh_full[c], xl_full[c])))
     nsq = jnp.sum(acc[0] * acc[0])
     if n_dev > 1:
         nsq = lax.psum(nsq, axis_name)
@@ -380,6 +468,8 @@ def _sdist_solve_loop(
     threshold,
     res_kwargs,
     cycle_kwargs,
+    krylov="none",
+    krylov_iters=2,
 ):
     """Whole-solve per-device body: df residuals, distributed cycles, the
     convergence check and history in ONE ``lax.while_loop`` program (no
@@ -403,7 +493,11 @@ def _sdist_solve_loop(
 
         def run(ops):
             xh_, xl_, r_ = ops
-            e = _sdist_cycle(level_data, coarse_inv, r_, **cycle_kwargs)
+            e = _sdist_error_solve(
+                level_data, coarse_inv, r_,
+                krylov=krylov, krylov_iters=krylov_iters,
+                cycle_kwargs=cycle_kwargs,
+            )
             return df_add_f32((xh_, xl_), e)
 
         xh, xl = lax.cond(
@@ -432,8 +526,9 @@ class DistributedAlgebraicSolver:
     row-partitioned over the mesh (see module docstring for the plan).
 
     Requirements (validated at construction): ``fmt == "ell"`` hierarchy,
-    ``residual_dtype='doublefloat'`` (the TPU-native 1e-10 mode), a banded
-    fine level that divides the mesh, and ``krylov='none'``.
+    ``residual_dtype='doublefloat'`` (the TPU-native 1e-10 mode), and a
+    banded fine level that divides the mesh.  ``krylov='pcg'`` runs
+    distributed MG-preconditioned CG (psum inner products).
     """
 
     def __init__(
@@ -453,11 +548,9 @@ class DistributedAlgebraicSolver:
             raise ValueError(
                 "distributed solver requires residual_dtype='doublefloat'"
             )
-        if config.krylov not in (None, "none"):
+        if config.krylov not in (None, "none", "pcg"):
             raise ValueError(
-                f"krylov={config.krylov!r} is implemented only by the "
-                "stencil engine (core.solver); the distributed "
-                "general-sparse engine runs pure multigrid (krylov='none')"
+                f"unknown krylov {config.krylov!r}; choose none|pcg"
             )
         if config.cycle_type not in ("v", "w", "f"):
             raise ValueError(
@@ -487,19 +580,11 @@ class DistributedAlgebraicSolver:
         )
         if not self.plan[0] and self.n_dev > 1:
             l0 = hierarchy.levels[0]
-            why = (
-                "operator is not banded (no slot_offsets)"
-                if not (
-                    isinstance(l0.A, ELLMatrix)
-                    and l0.A.slot_offsets is not None
-                )
-                else f"{l0.n} rows do not split over {self.n_dev} devices "
-                f"with >= max(halo, {self.mesh_config.min_rows_per_device}) "
-                "rows/device"
-            )
             raise ValueError(
-                f"finest level cannot be row-partitioned: {why}; solve "
-                "single-device (core.algebraic) instead"
+                f"finest level cannot be row-partitioned: {l0.n} rows do "
+                f"not split over {self.n_dev} devices with >= "
+                f"max(halo, {self.mesh_config.min_rows_per_device}) "
+                "rows/device; solve single-device (core.algebraic) instead"
             )
         self.n = hierarchy.n
         L = hierarchy.num_levels
@@ -543,8 +628,14 @@ class DistributedAlgebraicSolver:
         for i, l in enumerate(hierarchy.levels):
             d, s = {}, {}
             if self.plan[i]:
-                # banded: slot planes sharded along rows; no cols on device
+                # slot planes sharded along rows; banded levels carry no
+                # cols on device, irregular (gathered-x tier) shard their
+                # global-id cols alongside the data
                 d["data"], s["data"] = put(l.A.data, P(None, ax)), P(None, ax)
+                if self.offsets_per_level[i] is None:
+                    d["cols"], s["cols"] = (
+                        put(l.A.cols, P(None, ax)), P(None, ax)
+                    )
                 d["invd"], s["invd"] = put(l.inv_diag, P(ax)), P(ax)
                 if smoother == "rbgs" and l.colors is not None:
                     d["colors"], s["colors"] = put(l.colors, P(ax)), P(ax)
@@ -578,8 +669,11 @@ class DistributedAlgebraicSolver:
         fine, fs = {}, {}
         fine["hi"], fs["hi"] = put(hierarchy.fine_hi.data, fspec), fspec
         fine["lo"], fs["lo"] = put(hierarchy.fine_lo.data, fspec), fspec
-        if not self.plan[0] and not self.fine_offsets:
-            fine["cols"], fs["cols"] = put(hierarchy.fine_hi.cols, P()), P()
+        if not self.fine_offsets:
+            cspec = P(None, ax) if self.plan[0] else P()
+            fine["cols"], fs["cols"] = (
+                put(hierarchy.fine_hi.cols, cspec), cspec
+            )
         self.fine = fine
         self._fine_spec = fs
         self._vec_spec = P(ax) if self.plan[0] else P()
@@ -620,6 +714,8 @@ class DistributedAlgebraicSolver:
             threshold=float(cfg.threshold),
             res_kwargs=res_kwargs,
             cycle_kwargs=cycle_kwargs,
+            krylov=cfg.krylov or "none",
+            krylov_iters=cfg.krylov_iters,
         )
         vec = self._vec_spec
         self._solve_loop = jax.jit(

@@ -31,6 +31,9 @@ def main():
                     choices=["linear", "aggregate"],
                     help="aggregate yields const-only coarse levels — "
                     "A/B isolates the cornered fix-up cost")
+    ap.add_argument("--krylov", default="none", choices=["none", "pcg"],
+                    help="pcg runs the distributed MG-preconditioned CG "
+                    "inner solve (psum dots) in both programs")
     ap.add_argument("--out", type=str, default=None,
                     help="write a JSON artifact here")
     args = ap.parse_args()
@@ -47,7 +50,7 @@ def main():
     print(f"backend: {backend}")
     cfg = SolverConfig(
         smoother="rbgs", transfer=args.transfer,
-        residual_dtype="doublefloat", cycles=60,
+        residual_dtype="doublefloat", cycles=60, krylov=args.krylov,
     )
     b_np = rhs_random(shape, seed=2)
     b_np = b_np / np.linalg.norm(b_np.ravel())
@@ -133,6 +136,7 @@ def main():
     record = {
         "shape": list(shape),
         "backend": backend,
+        "krylov": args.krylov,
         "single_device_time_s": t_single,
         "dist_forced_device_time_s": t_dist,
         "ratio": ratio,

@@ -200,12 +200,24 @@ def test_general_vs_stencil_engine_same_trajectory():
     assert np.allclose(a, g, rtol=1e-4), (a, g)
 
 
-def test_krylov_rejected_on_general_engine():
-    """SolverConfig(krylov="pcg") is honored only by the stencil engine;
-    the general-sparse engine must reject it loudly, not drop it."""
-    cfg = SolverConfig(krylov="pcg")
-    with pytest.raises(ValueError, match="krylov"):
-        setup_sparse(poisson((16, 16)), (16, 16), cfg)
+def test_pcg_on_general_engine():
+    """krylov="pcg" on the general-sparse engine: MG-preconditioned CG
+    inner error solves — converges to the same fixed point in fewer
+    outer steps than pure MG."""
+    shape = (32, 32)
+    b = rhs_random(shape, seed=2).ravel()
+    base = dict(smoother="rbgs", transfer="linear", format="ell",
+                gridlevels=3, max_dense_coarse=4096, cycles=60)
+    x_mg, info_mg = setup_sparse(
+        poisson(shape), shape, SolverConfig(**base)
+    ).solve(b)
+    x_pcg, info_pcg = setup_sparse(
+        poisson(shape), shape,
+        SolverConfig(krylov="pcg", krylov_iters=2, **base),
+    ).solve(b)
+    assert info_pcg["converged"]
+    assert info_pcg["cycles"] <= info_mg["cycles"]
+    np.testing.assert_allclose(x_pcg, x_mg, rtol=1e-7, atol=1e-9)
 
 
 def test_sparse_solve_many_matches_scalar():
