@@ -36,6 +36,7 @@ from openmg_tpu.models.poisson import (
     stencil_from_csr,
     stencil_to_csr,
 )
+from openmg_tpu.models.elasticity import coupled_diffusion, elasticity
 from openmg_tpu.core.algebraic import AlgebraicSolver, setup_sparse
 from openmg_tpu.ops.sparse import (
     BSRMatrix,
@@ -66,6 +67,8 @@ __all__ = [
     "Level",
     "poisson",
     "poisson_stencil",
+    "elasticity",
+    "coupled_diffusion",
     "diffusion",
     "diffusion_stencil",
     "stencil_from_csr",
