@@ -437,11 +437,28 @@ def smooth_part_vary(
     n_dev: int,
 ):
     """Partitioned varying-coefficient smoothing on the kernel tier
-    (jacobi / rbgs; chebyshev-on-vary stays on the jnp distributed path —
-    its λ_max needs a pmax that the caller owns).  Per half-sweep: post
-    the halo ppermute, run the zero-halo vary Pallas bulk, correct the
-    two boundary planes with the local coefficient slabs."""
+    (jacobi / rbgs / chebyshev).  Per half-sweep: post the halo ppermute,
+    run the zero-halo vary Pallas bulk, correct the two boundary planes
+    with the local coefficient slabs.  Chebyshev pmaxes its Gershgorin
+    λ_max once (one global polynomial) and then runs on the vary residual
+    kernels — VERDICT r4 task 10."""
     if iterations <= 0:
+        return x
+    if name == "chebyshev":
+        lam = gershgorin_lambda_max(op, inv_diag)
+        if not op.is_constant:
+            lam = lax.pmax(lam, axis_name)
+        lam = jnp.asarray(lam, dtype=x.dtype)
+        r = residual_part_vary(op, b, x, axis_name, n_dev)
+        d = (4.0 / 3.0) / lam * inv_diag * r
+        for k in range(1, iterations + 1):
+            x = x + d
+            if k == iterations:
+                break
+            r = residual_part_vary(op, r, d, axis_name, n_dev)  # r ← r − A d
+            d = ((2 * k - 1) / (2 * k + 3)) * d + (
+                (8 * k + 4) / (2 * k + 3)
+            ) / lam * inv_diag * r
         return x
     if name == "jacobi":
         sweeps = (("jacobi", 0),)
