@@ -49,8 +49,10 @@ __all__ = [
     "presmooth_residual_fused",
     "presmooth_restrict_fused",
     "prolong_smooth_fused",
+    "residual_restrict_fused",
     "plan_presmooth_restrict",
     "plan_prolong_smooth",
+    "plan_residual_restrict",
 ]
 
 # Mosaic scoped-VMEM cap for the fused kernels.  The default 16 MB rejects
@@ -401,7 +403,7 @@ def _prolong_in_kernel(ec_ext, p_taps, Py, Px):
 def _fused_kernel(
     vals_ref, *refs, offsets, stages, emit_residual, has_x,
     tz, depth, ny, nx, nz, regions, restrict_taps=None, prolong_taps=None,
-    halo=False,
+    halo=False, emit_x=True,
 ):
     i = pl.program_id(0)
     E = tz + 2 * depth
@@ -541,7 +543,10 @@ def _fused_kernel(
             )
         X = Xn * zvalid
 
-    out_refs[0][...] = X[depth: depth + tz]
+    r_out = 0
+    if emit_x:
+        out_refs[0][...] = X[depth: depth + tz]
+        r_out = 1
     if emit_residual:
         r = B - _apply_ext(vals_ref, offsets, X, ny, nx, skip_diag=False)
         if regions:
@@ -554,15 +559,15 @@ def _fused_kernel(
                 r * zvalid, restrict_taps, My_ref[...], Mx_ref[...],
                 depth, tz,
             )
-            out_refs[1][...] = bc
+            out_refs[r_out][...] = bc
         else:
-            out_refs[1][...] = r[depth: depth + tz]
+            out_refs[r_out][...] = r[depth: depth + tz]
 
 
 def fused_stages_const_3d(
     values, offsets, b, x, stages, emit_residual: bool = False, tz=None,
     corner=None, restrict_transfer=None, ec=None, prolong_transfer=None,
-    halos=None,
+    halos=None, emit_x: bool = True,
 ):
     """Run ``stages`` half-sweeps (and optionally the final residual) for a
     constant 3D stencil in one Pallas pass.  ``x=None`` means a zero
@@ -598,7 +603,10 @@ def fused_stages_const_3d(
                            else 1 if emit_residual else 0)
     if ec is not None and depth % 2:
         depth += 1
-    n_out = 2 if emit_residual else 1
+    if not emit_x and not (emit_residual and not stages):
+        raise ValueError("emit_x=False only applies to stage-free "
+                         "residual(+restrict) kernels")
+    n_out = (1 if emit_x else 0) + (1 if emit_residual else 0)
     regions = tuple(tuple(R) for R in corner[0]) if corner else ()
     min_tz = depth + 1 if regions else 1
     if restrict_transfer is not None or ec is not None:
@@ -612,9 +620,14 @@ def fused_stages_const_3d(
     if tz is None:
         tz = _fit_tz(
             b.shape, depth, has_x, n_out, min_tz=min_tz, k=len(offsets),
+            # 1.55: measured shortfall of the base model on the staged
+            # has_x+restrict variant (FMG fine-level visits).  The
+            # stage-free residual+restrict kernel has no stage-cascade
+            # intermediates — the base model holds (compile-checked
+            # on-chip at 512³-class local blocks, scripts/tpu_smoke.py).
             fudge=(
                 1.55
-                if has_x and restrict_transfer is not None
+                if has_x and restrict_transfer is not None and stages
                 else 1.0
             ),
         )
@@ -753,20 +766,20 @@ def fused_stages_const_3d(
                 operands += [pair[0], pair[1]]
 
     if restrict_transfer is not None:
-        out_specs = (
-            tile,
-            pl.BlockSpec(
-                (tz // 2, ny // 2, nx // 2),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        bc_spec = pl.BlockSpec(
+            (tz // 2, ny // 2, nx // 2),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        out_shape = (
-            jax.ShapeDtypeStruct(b.shape, b.dtype),
-            jax.ShapeDtypeStruct(
-                (nz // 2, ny // 2, nx // 2), b.dtype
-            ),
+        bc_struct = jax.ShapeDtypeStruct(
+            (nz // 2, ny // 2, nx // 2), b.dtype
         )
+        if emit_x:
+            out_specs = (tile, bc_spec)
+            out_shape = (jax.ShapeDtypeStruct(b.shape, b.dtype), bc_struct)
+        else:
+            out_specs = (bc_spec,)
+            out_shape = (bc_struct,)
     else:
         out_specs = (tile,) * n_out
         out_shape = (jax.ShapeDtypeStruct(b.shape, b.dtype),) * n_out
@@ -786,6 +799,7 @@ def fused_stages_const_3d(
         restrict_taps=restrict_taps,
         prolong_taps=prolong_taps,
         halo=halos is not None,
+        emit_x=emit_x,
     )
     interpret = jax.default_backend() != "tpu"
     extra = (
@@ -806,7 +820,39 @@ def fused_stages_const_3d(
         interpret=interpret,
         **extra,
     )(*operands)
+    if not emit_x:
+        return out[0]
     return out if emit_residual else out[0]
+
+
+def _fused2d(name, op, b, x, iterations: int, omega: float,
+             emit_residual: bool):
+    """Whole-plane 2D stage fusion (kernels.fused_stages_2d): ALL stages
+    (+ optional residual) in ONE launch — the ≤1024² tier's answer to
+    the per-kernel launch floor (VERDICT r4 task 6).  Exact on cornered
+    operators via the O(K) delta algebra.  Returns the kernel result or
+    None when not applicable."""
+    from openmg_tpu.ops import kernels
+    from openmg_tpu.ops.stencil import CorneredOperator
+
+    stages = stages_for(name, iterations, omega)
+    if stages is None or not stages:
+        return None
+    if b.ndim != 2 or b.dtype != jnp.float32:
+        return None
+    corner = isinstance(op, CorneredOperator)
+    if not (op.is_constant or corner):
+        return None
+    if any(abs(o) > 1 for off in op.offsets for o in off):
+        return None
+    if not kernels.supports_fused2d(op.offsets, b.shape):
+        return None
+    return kernels.fused_stages_2d(
+        op.values, op.offsets, b, x, stages,
+        deltas=op.deltas if corner else None,
+        subsets=op.subsets if corner else None,
+        emit_residual=emit_residual,
+    )
 
 
 def smooth_fused(name, op, b, x, iterations: int, omega: float):
@@ -814,6 +860,8 @@ def smooth_fused(name, op, b, x, iterations: int, omega: float):
     fitting chunks.  Returns the smoothed ``x`` or None when the fused path
     does not apply (wrong smoother/stencil/shape, or only depth-1 chunks
     would fit — the per-half-sweep kernels are better there)."""
+    if b.ndim == 2:
+        return _fused2d(name, op, b, x, iterations, omega, False)
     stages = stages_for(name, iterations, omega)
     if stages is None or len(stages) < 2 or not _stencil_ok(op, b):
         return None
@@ -841,6 +889,8 @@ def smooth_fused(name, op, b, x, iterations: int, omega: float):
 def presmooth_residual_fused(name, op, b, iterations: int, omega: float):
     """Zero-initial-guess pre-smoothing fused with the level residual:
     returns ``(x, r)`` reading only ``b``, or None when unsupported."""
+    if b.ndim == 2:
+        return _fused2d(name, op, b, None, iterations, omega, True)
     stages = stages_for(name, iterations, omega)
     if stages is None or not stages or not _stencil_ok(op, b):
         return None
@@ -930,6 +980,52 @@ def presmooth_restrict_fused(
     return fused_stages_const_3d(
         op.values, op.offsets, b, x, stages, emit_residual=True,
         corner=corner, restrict_transfer=transfer, halos=halos,
+    )
+
+
+def plan_residual_restrict(
+    n_offsets: int, shape, transfer, halo: bool = False,
+    corner: bool = False,
+):
+    """Static feasibility check for :func:`residual_restrict_fused`
+    (depth 2 — the stage-free partial fusion for levels too big for the
+    full presmooth+restrict fusion, e.g. 512²-plane local blocks;
+    VERDICT r4 task 1).  Returns the depth (2) or None."""
+    if not _transfer_fusable(shape, transfer):
+        return None
+    depth = 2
+    min_tz = max(2, depth + 1 if corner else 2)
+    if halo:
+        min_tz = max(min_tz, depth)
+    if _fit_tz(
+        shape, depth, True, 1, min_tz=min_tz, k=n_offsets
+    ) is None:
+        return None
+    return depth
+
+
+def residual_restrict_fused(op, b, x, transfer, halos=None):
+    """The level residual fused with its restriction, no smoothing
+    stages: ``bc = R (b − A x)`` in ONE kernel that never materializes
+    the fine residual and never re-writes ``x``.  Returns ``bc`` or None
+    when unsupported.  Replaces residual (3 passes) + restrict (~2.6)
+    with ~2.1 — the partial deep-fusion tier for levels whose planes are
+    too large for the staged fusions (VERDICT r4 task 1)."""
+    if not _stencil_ok(op, b) or not _transfer_fusable(b.shape, transfer):
+        return None
+    corner = _corner_info(op)
+    depth = 2
+    min_tz = max(2, depth + 1 if corner else 2)
+    if halos is not None:
+        min_tz = max(min_tz, depth)
+    if _fit_tz(
+        b.shape, depth, True, 1, min_tz=min_tz, k=len(op.offsets)
+    ) is None:
+        return None
+    return fused_stages_const_3d(
+        op.values, op.offsets, b, x, (), emit_residual=True,
+        corner=corner, restrict_transfer=transfer, halos=halos,
+        emit_x=False,
     )
 
 

@@ -926,3 +926,207 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
         interpret=interpret,
     )(*args)
     return out
+
+
+# ---------------------------------------------------------------------------
+# whole-plane fused 2D tier (VERDICT r4 task 6: the ≤1024² launch floor)
+# ---------------------------------------------------------------------------
+#
+# 2D grids small enough for one VMEM plane are LAUNCH-floor bound, not
+# bandwidth bound (each per-half-sweep kernel costs ~the fixed launch
+# overhead at ≤16 MB grids — CLAUDE.md).  The remedy is stage fusion at
+# maximum depth: the whole (ny, nx) plane is VMEM-resident, so ALL S
+# half-sweeps plus the level residual run in ONE kernel with no halo
+# machinery at all (the full domain is in registers/VMEM; Dirichlet
+# edges are iota masks, exactly as in the lift path).
+#
+# Cornered (boundary-corrected Galerkin) levels run EXACTLY via the
+# O(K) delta algebra (ops/stencil.py::CorneredOperator): the tap field
+# for offset k is  c_k + my·d0_k + mx·d1_k + my·mx·d01_k  with
+# my = (iy == 0), mx = (ix == 0) — accumulated as four scalar-weighted
+# sums with three masked full-plane corrections per apply, not per
+# offset.
+
+
+def supports_fused2d(offsets, shape, k: int | None = None) -> bool:
+    """Whole-plane 2D fusion feasibility: radius-1 2D stencil, lane-dim
+    multiple of 128 (or tiny full-extent), plane + ~0.9·K live
+    intermediates inside the scoped-VMEM cap (same empirical coefficient
+    as ops/fused.py::_fit_tz)."""
+    if len(shape) != 2:
+        return False
+    ny, nx = shape
+    if any(len(off) != 2 or abs(off[0]) > 1 or abs(off[1]) > 1
+           for off in offsets):
+        return False
+    if not (nx % 128 == 0 or nx in (32, 64)) or ny < 8:
+        return False
+    plane = ny * nx * 4
+    kk = k if k is not None else len(offsets)
+    scoped = int(0.9 * kk * plane)
+    windows = 2 * 3 * plane  # b, x in + x (and r) out, double-buffered
+    return (
+        scoped <= _VMEM_LIMIT - 8 * 1024 * 1024
+        and windows + scoped <= 100 * 1024 * 1024
+    )
+
+
+def _shift2d_full(v, oy: int, ox: int):
+    """``w[y, x] = v[y + oy, x + ox]`` with zero fill (whole plane in
+    VMEM — Dirichlet truncation by iota masks)."""
+    out = v
+    if oy:
+        ny = v.shape[0]
+        out = jnp.roll(out, -oy, axis=0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        m = (iy < ny - 1) if oy == 1 else (iy > 0)
+        out = out * m.astype(v.dtype)
+    if ox:
+        nx = v.shape[1]
+        out = jnp.roll(out, -ox, axis=1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        m = (ix < nx - 1) if ox == 1 else (ix > 0)
+        out = out * m.astype(v.dtype)
+    return out
+
+
+def _fused2d_kernel(
+    vals_ref, deltas_ref, b_ref, *rest, offsets, subsets, stages,
+    emit_residual, zero_start, ny, nx,
+):
+    refs = list(rest)
+    x = jnp.zeros((ny, nx), b_ref.dtype) if zero_start else refs.pop(0)[...]
+    out_x = refs.pop(0)
+    out_r = refs.pop(0) if emit_residual else None
+    b = b_ref[...]
+    di = offsets.index((0, 0))
+    iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    my = (iy == 0).astype(b.dtype)
+    mx = (ix == 0).astype(b.dtype)
+    # delta rows by axis subset (None when the operator is constant)
+    s_idx = {S: i for i, S in enumerate(subsets or ())}
+    i0, i1, i01 = s_idx.get((0,)), s_idx.get((1,)), s_idx.get((0, 1))
+
+    def dval(si, k):
+        return vals_ref[0, k] * 0.0 if si is None else deltas_ref[si, k]
+
+    def apply_op(v, skip_diag: bool):
+        accs = [None, None, None, None]  # const, d0, d1, d01 parts
+
+        def add(i, t):
+            accs[i] = t if accs[i] is None else accs[i] + t
+
+        for k, (oy, ox) in enumerate(offsets):
+            if skip_diag and k == di:
+                continue
+            term = v if (oy, ox) == (0, 0) else _shift2d_full(v, oy, ox)
+            add(0, vals_ref[0, k] * term)
+            if subsets:
+                if oy == 0 and i0 is not None:
+                    add(1, deltas_ref[i0, k] * term)
+                if ox == 0 and i1 is not None:
+                    add(2, deltas_ref[i1, k] * term)
+                if oy == 0 and ox == 0 and i01 is not None:
+                    add(3, deltas_ref[i01, k] * term)
+        acc = accs[0]
+        if accs[1] is not None:
+            acc = acc + my * accs[1]
+        if accs[2] is not None:
+            acc = acc + mx * accs[2]
+        if accs[3] is not None:
+            acc = acc + my * mx * accs[3]
+        return acc
+
+    # exact per-row diagonal field (varies only on the iy==0 / ix==0 bands)
+    d_field = vals_ref[0, di]
+    if subsets:
+        d_field = (
+            d_field
+            + my * dval(i0, di)
+            + mx * dval(i1, di)
+            + my * mx * dval(i01, di)
+        )
+        inv_d = 1.0 / d_field
+    else:
+        inv_d = 1.0 / d_field
+
+    par = (iy + ix) & 1
+    for mode, p in stages:
+        if mode == "jacobi":
+            om = jnp.asarray(p, dtype=b.dtype)
+            x = x + om * (inv_d * (b - apply_op(x, False)))
+        else:  # ("rb", color)
+            xn = inv_d * (b - apply_op(x, True))
+            x = jnp.where(par == p, xn, x)
+    out_x[...] = x
+    if emit_residual:
+        out_r[...] = b - apply_op(x, False)
+
+
+def fused_stages_2d(
+    values, offsets, b, x, stages, *, deltas=None, subsets=None,
+    emit_residual=False,
+):
+    """S half-sweeps (+ optional residual) on a whole-VMEM 2D plane in
+    ONE Pallas launch.  ``x=None`` is the zero-start path (reads only
+    ``b``).  ``deltas``/``subsets`` select the exact cornered-operator
+    algebra.  Returns ``x'`` or ``(x', r)``."""
+    ny, nx = b.shape
+    offsets = tuple(tuple(o) for o in offsets)
+    subsets = tuple(tuple(s) for s in subsets) if subsets is not None else None
+    kern = functools.partial(
+        _fused2d_kernel,
+        offsets=offsets,
+        subsets=subsets,
+        stages=tuple(stages),
+        emit_residual=emit_residual,
+        zero_start=x is None,
+        ny=ny,
+        nx=nx,
+    )
+    K = len(offsets)
+    vals2d = values.reshape(1, -1)
+    if deltas is None:
+        deltas = jnp.zeros((1, K), values.dtype)
+    plane_spec = pl.BlockSpec((ny, nx), lambda: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, K), lambda: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (deltas.shape[0], K), lambda: (0, 0), memory_space=pltpu.SMEM
+        ),
+        plane_spec,
+    ]
+    args = [vals2d, deltas, b]
+    if x is not None:
+        in_specs.append(plane_spec)
+        args.append(x)
+    n_out = 2 if emit_residual else 1
+    interpret = jax.default_backend() != "tpu"
+    extra = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            )
+        }
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=(
+            (plane_spec, plane_spec) if emit_residual else plane_spec
+        ),
+        out_shape=(
+            tuple(
+                jax.ShapeDtypeStruct(b.shape, b.dtype) for _ in range(n_out)
+            )
+            if emit_residual
+            else jax.ShapeDtypeStruct(b.shape, b.dtype)
+        ),
+        interpret=interpret,
+        **extra,
+    )(*args)
+    return out

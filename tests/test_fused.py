@@ -291,3 +291,179 @@ def test_transfer_fused_nx128_levels():
     assert fused.presmooth_restrict_fused(
         "rbgs", op_odd, b_odd, None, 2, 2.0 / 3.0, tr
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# whole-plane fused 2D tier (VERDICT r4 task 6)
+# ---------------------------------------------------------------------------
+
+
+def _hier2d(shape=(64, 128)):
+    from openmg_tpu import SolverConfig, setup
+
+    cfg = SolverConfig(smoother="rbgs", transfer="linear", gridlevels=3,
+                       max_dense_coarse=4096, residual_dtype="doublefloat")
+    return setup(shape, cfg).hierarchy
+
+
+@pytest.mark.parametrize("name,iters", [("rbgs", 2), ("jacobi", 3)])
+def test_fused2d_const_matches_jnp(name, iters):
+    """Whole-plane 2D stage fusion on the constant fine level == jnp."""
+    h = _hier2d()
+    L = h.levels[0]
+    assert L.A.is_constant
+    s = L.A.grid_shape
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    got = fused._fused2d(name, L.A, b, x0, iters, 2.0 / 3.0, False)
+    assert got is not None
+    ref = smooth(name, L.A, L.inv_diag, b, x0, iters, 2.0 / 3.0,
+                 use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["rbgs", "jacobi"])
+def test_fused2d_cornered_matches_jnp(name):
+    """Exact cornered-delta algebra in the 2D whole-plane kernel."""
+    from openmg_tpu.ops.stencil import CorneredOperator
+
+    h = _hier2d()
+    L = h.levels[1]
+    assert isinstance(L.A, CorneredOperator)
+    s = L.A.grid_shape
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    got = fused._fused2d(name, L.A, b, x0, 2, 2.0 / 3.0, False)
+    assert got is not None
+    ref = smooth(name, L.A, L.inv_diag, b, x0, 2, 2.0 / 3.0,
+                 use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+
+def test_fused2d_zero_start_residual():
+    """Zero-start presmooth + residual in one launch (reads only b)."""
+    from openmg_tpu.ops.stencil import residual as st_resid
+
+    h = _hier2d()
+    for lvl in (0, 1):
+        L = h.levels[lvl]
+        s = L.A.grid_shape
+        rng = np.random.default_rng(2 + lvl)
+        b = jnp.asarray(rng.standard_normal(s), jnp.float32)
+        out = fused.presmooth_residual_fused("rbgs", L.A, b, 2, 2.0 / 3.0)
+        assert out is not None
+        xz, r = out
+        ref = smooth("rbgs", L.A, L.inv_diag, b, jnp.zeros_like(b), 2,
+                     2.0 / 3.0, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(xz), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r),
+                                   np.asarray(st_resid(L.A, b, ref)),
+                                   rtol=0, atol=1e-4)
+
+
+def test_fused2d_solve_parity_and_gate():
+    """End-to-end 2D solve is identical with the fused tier on vs off;
+    oversized planes are rejected by the VMEM gate."""
+    import openmg_tpu as mg
+    from openmg_tpu.models.poisson import rhs_random
+    from openmg_tpu.ops import kernels
+
+    shape = (128, 128)
+    cfg = mg.SolverConfig(smoother="rbgs", transfer="linear", gridlevels=4,
+                          max_dense_coarse=4096,
+                          residual_dtype="doublefloat", cycles=60)
+    b = rhs_random(shape, seed=2)
+    b = b / np.linalg.norm(b.ravel())
+    x1, i1 = mg.setup(shape, cfg).solve(b)
+    orig = fused._fused2d
+    try:
+        fused._fused2d = lambda *a, **k: None
+        x2, i2 = mg.setup(shape, cfg).solve(b)
+    finally:
+        fused._fused2d = orig
+    assert i1["converged"] and i1["cycles"] == i2["cycles"]
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=0, atol=1e-9)
+    # VMEM gate: 2048² planes (16 MB) must NOT take the whole-plane path
+    offs = tuple((oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1))
+    assert not kernels.supports_fused2d(offs, (2048, 2048))
+    assert kernels.supports_fused2d(offs, (1024, 1024))
+
+
+# ---------------------------------------------------------------------------
+# stage-free partial fusion (VERDICT r4 task 1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_residual_restrict_fused(lvl):
+    """bc = R (b − A x) in one stage-free kernel == residual + restrict,
+    on const and cornered levels."""
+    from openmg_tpu import SolverConfig, setup
+    from openmg_tpu.ops.stencil import residual as st_resid
+    from openmg_tpu.ops.transfer import restrict
+
+    cfg = SolverConfig(smoother="rbgs", transfer="linear", gridlevels=3,
+                       max_dense_coarse=99999,
+                       residual_dtype="doublefloat")
+    h = setup((32, 32, 64), cfg).hierarchy
+    L = h.levels[lvl]
+    s = L.A.grid_shape
+    rng = np.random.default_rng(lvl)
+    b = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    bc = fused.residual_restrict_fused(L.A, b, x, h.transfer)
+    assert bc is not None
+    ref = restrict(st_resid(L.A, b, x), h.transfer)
+    np.testing.assert_allclose(np.asarray(bc), np.asarray(ref),
+                               rtol=0, atol=5e-5)
+
+
+def test_partial_fusion_cycle_parity(monkeypatch):
+    """With the full staged fusions disabled (the 512²-plane situation),
+    the single-device cycle composes chunked smoothing + stage-free
+    residual_restrict + prolong+1-sweep and still matches the plain
+    path."""
+    import openmg_tpu as mg
+    from openmg_tpu.models.poisson import rhs_random
+
+    shape = (32, 32, 64)
+    cfg = mg.SolverConfig(smoother="rbgs", transfer="linear", gridlevels=3,
+                          max_dense_coarse=99999,
+                          residual_dtype="doublefloat", cycles=60)
+    b = rhs_random(shape, seed=3)
+    b = b / np.linalg.norm(b.ravel())
+    x_ref, i_ref = mg.setup(shape, cfg).solve(b)
+
+    orig_plan = fused.plan_presmooth_restrict
+    orig_pr = fused.presmooth_restrict_fused
+    orig_ps = fused.plan_prolong_smooth
+
+    monkeypatch.setattr(fused, "presmooth_restrict_fused",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(fused, "plan_presmooth_restrict",
+                        lambda *a, **k: None)
+
+    def ps_one_only(name, n_off, shape_, iters, omega, transfer, **kw):
+        if iters > 1:
+            return None
+        return orig_ps(name, n_off, shape_, iters, omega, transfer, **kw)
+
+    monkeypatch.setattr(fused, "plan_prolong_smooth", ps_one_only)
+    orig_psf = fused.prolong_smooth_fused
+
+    def psf_one_only(name, op, b_, x_, ec, iters, omega, transfer, **kw):
+        if iters > 1:
+            return None
+        return orig_psf(name, op, b_, x_, ec, iters, omega, transfer, **kw)
+
+    monkeypatch.setattr(fused, "prolong_smooth_fused", psf_one_only)
+    x_part, i_part = mg.setup(shape, cfg).solve(b)
+    assert i_part["cycles"] == i_ref["cycles"]
+    np.testing.assert_allclose(np.asarray(x_part), np.asarray(x_ref),
+                               rtol=0, atol=1e-9)
