@@ -91,10 +91,18 @@ def v_cycle(
                 )
         if fused_pre is not None:
             x, r = fused_pre
+            bc = restrict(r, hierarchy.transfer)
         else:
             x = smooth(smoother, L.A, L.inv_diag, b, x, pre, omega)
-            r = residual(L.A, b, x)
-        bc = restrict(r, hierarchy.transfer)
+            # partial fusion for levels whose planes are too large for
+            # the staged fusions (512²-class): residual + restriction in
+            # one stage-free kernel, never materializing r
+            bc = fused.residual_restrict_fused(
+                L.A, b, x, hierarchy.transfer
+            )
+            if bc is None:
+                r = residual(L.A, b, x)
+                bc = restrict(r, hierarchy.transfer)
     ec = jnp.zeros_like(bc)
     # µ recursive visits; at the level just above the coarsest a second
     # visit would re-run the exact solve on an (near-)unchanged residual,
@@ -119,6 +127,17 @@ def v_cycle(
         )
         if y is not None:
             return y
+        if post > 1:
+            # partial fusion (512²-class planes): prolong + the FIRST
+            # post-sweep in one kernel, remaining sweeps on the chunked
+            # tier — exact composition of the same stages
+            y = fused.prolong_smooth_fused(
+                smoother, L.A, b, x, ec, 1, omega, hierarchy.transfer
+            )
+            if y is not None:
+                return smooth(
+                    smoother, L.A, L.inv_diag, b, y, post - 1, omega
+                )
     x = x + prolong(ec, L.grid_shape, hierarchy.transfer)
     x = smooth(smoother, L.A, L.inv_diag, b, x, post, omega)
     return x

@@ -343,8 +343,15 @@ def _dist_v_cycle(
                 x, bc = out
         if bc is None:
             x = smooth_at(level, b, x, pre)
-            rr = residual_at(level, b, x)
-            bc = restrict_at(level, rr)
+            if deep_fusable(level):
+                # partial fusion for 512²-plane local blocks (VERDICT r4
+                # task 1): residual + restriction in one stage-free pass
+                bc = fast.residual_restrict_part(
+                    op_at(level, b.shape), b, x, transfer, axis_name, n_dev
+                )
+            if bc is None:
+                rr = residual_at(level, b, x)
+                bc = restrict_at(level, rr)
         ec = jnp.zeros_like(bc)
         visits = 1 if level == num_levels - 2 else gamma
         for v in range(visits):
@@ -356,6 +363,15 @@ def _dist_v_cycle(
             )
             if y is not None:
                 return y
+            if post > 1:
+                # partial fusion: prolong + the FIRST post-sweep in one
+                # kernel, remaining sweeps on the chunked/per-sweep tier
+                y = fast.prolong_smooth_part(
+                    smoother, op_at(level, b.shape), b, x, ec, 1, omega,
+                    transfer, axis_name, n_dev,
+                )
+                if y is not None:
+                    return smooth_at(level, b, y, post - 1)
         x = x + prolong_at(level, ec)
         x = smooth_at(level, b, x, post)
         return x

@@ -60,6 +60,7 @@ __all__ = [
     "residual_part_vary",
     "presmooth_restrict_part",
     "prolong_smooth_part",
+    "residual_restrict_part",
 ]
 
 
@@ -621,4 +622,29 @@ def prolong_smooth_part(
     return fused.prolong_smooth_fused(
         name, op, b, x, ec, iterations, omega, transfer,
         halos=(flags, b_pair, x_pair, ec_pair),
+    )
+
+
+def residual_restrict_part(op, b, x, transfer, axis_name, n_dev: int):
+    """Partitioned partial fusion (VERDICT r4 task 1): the level residual
+    + its restriction in ONE stage-free Pallas pass per local block
+    (depth-2 halo slabs of b and x in-kernel, never materializing the
+    fine residual).  The tier for 512²-plane local blocks where the
+    staged presmooth+restrict fusion misses VMEM.  Returns the local
+    coarse ``bc`` or None."""
+    from openmg_tpu.ops import fused
+
+    if not _fusable_op(op, b):
+        return None
+    depth = fused.plan_residual_restrict(
+        len(op.offsets), b.shape, transfer, halo=True,
+        corner=isinstance(op, CorneredOperator),
+    )
+    if depth is None:
+        return None
+    flags = open_flags(axis_name, n_dev)
+    b_pair = halo_slabs(b, axis_name, n_dev, depth)
+    x_pair = halo_slabs(x, axis_name, n_dev, depth)
+    return fused.residual_restrict_fused(
+        op, b, x, transfer, halos=(flags, b_pair, x_pair, None)
     )

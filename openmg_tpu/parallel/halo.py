@@ -10,14 +10,22 @@ is masked off).
 
 All functions here run *inside* ``shard_map`` on local blocks.
 
-Overlap (the BASELINE "halo exchange overlapped with interior smoothing"):
-:func:`halo_planes` + :func:`apply_overlapped` structure each sweep so the
-bulk local-only SpMV has **no data dependency** on the ppermute results —
-only the two boundary-plane correction terms consume them — so XLA's
-latency-hiding scheduler can run the collective-permute concurrently with
-the interior compute.  ``apply_overlapped`` is algebraically identical to
-``apply_ext`` after ``halo_exchange`` (the halo terms are summed last
-instead of in offset order; fp differences are at roundoff).
+Overlap vs amortization (the BASELINE T10 "halo exchange overlapped with
+interior smoothing" clause): :func:`halo_planes` + :func:`apply_overlapped`
+structure the **jnp path's** sweeps so the bulk local-only SpMV has no
+data dependency on the ppermute results — only the two boundary-plane
+correction terms consume them — leaving XLA free to run the
+collective-permute concurrently with interior compute.
+``apply_overlapped`` is algebraically identical to ``apply_ext`` after
+``halo_exchange`` (the halo terms are summed last instead of in offset
+order; fp differences are at roundoff).  The compiled fast tier
+(:mod:`openmg_tpu.parallel.fast`) does NOT take this path: its Pallas
+kernels consume halo planes/slabs in-kernel (each pass depends on its
+exchange) because that design measured 3.5× faster than the
+overlap-capable kernel+epilogue split, and the deep-fusion tier
+*amortizes* one slab exchange across a whole multi-stage pass instead.
+The pod story is the comm model's no-overlap efficiency bound
+(parallel/model.py) — see README "Halo story".
 """
 
 from __future__ import annotations

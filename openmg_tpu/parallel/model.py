@@ -105,6 +105,32 @@ def comm_model(
                 deep_pre = d_pre is not None
                 deep_post = d_post is not None
         deep = deep_pre and deep_post
+        part_pre = part_post = False
+        d_rr = d_p1 = None
+        if plan[lvl] and lvl + 1 < num_levels and not deep:
+            # partial-fusion tiers (VERDICT r4 task 1) on deep_fusable
+            # levels where the full staged fusions miss VMEM: stage-free
+            # residual+restrict, and prolong + FIRST post-sweep
+            if (
+                plan[lvl + 1]
+                and kinds[lvl] in ("const", "corner")
+                and len(shape) == 3
+                and solver.coarsened_axes[lvl] == (0, 1, 2)
+            ):
+                is_corner = kinds[lvl] == "corner"
+                k_off = len(solver.offsets_per_level[lvl])
+                if not deep_pre:
+                    d_rr = fused.plan_residual_restrict(
+                        k_off, local_shape, solver.transfer, halo=True,
+                        corner=is_corner,
+                    )
+                    part_pre = d_rr is not None
+                if not deep_post and post > 1:
+                    d_p1 = fused.plan_prolong_smooth(
+                        cfg.smoother, k_off, local_shape, 1, cfg.omega,
+                        solver.transfer, halo=True, corner=is_corner,
+                    )
+                    part_post = d_p1 is not None
         if plan[lvl]:
             # pre side: fused presmooth+residual+restrict, or per-sweep
             # halos + residual + restrict exchanges.  (The chunked
@@ -113,6 +139,12 @@ def comm_model(
             if deep_pre:
                 lv_halo += 2 * d_pre * plane  # b slabs (x is zero-start)
                 lv_hbm += 2.5 * local_bytes
+            elif part_pre:
+                lv_halo += 2 * plane * pre * half_per_sweep  # smoothing
+                lv_halo += 2 * 2 * d_rr * plane  # b + x depth-2 slabs
+                # smoothing passes + the stage-free kernel (b, x in,
+                # bc/8 out)
+                lv_hbm += (3 * pre * half_per_sweep + 2.2) * local_bytes
             else:
                 lv_halo += 2 * plane * pre * half_per_sweep
                 lv_halo += 2 * plane  # residual
@@ -124,6 +156,14 @@ def comm_model(
                 lv_halo += 2 * d_post * plane * 2  # b + x slabs
                 lv_halo += (2 * dc + 1) * (plane / 4)  # coarse ec slabs
                 lv_hbm += 3.5 * local_bytes
+            elif part_post:
+                dc = d_p1 // 2
+                lv_halo += 2 * d_p1 * plane * 2  # b + x slabs
+                lv_halo += (2 * dc + 1) * (plane / 4)  # coarse ec slabs
+                lv_halo += 2 * plane * (post - 1) * half_per_sweep
+                lv_hbm += (
+                    3.5 + 3 * (post - 1) * half_per_sweep
+                ) * local_bytes
             else:
                 lv_halo += 2 * plane * post * half_per_sweep
                 if lvl + 1 < num_levels and plan[lvl + 1]:
@@ -143,7 +183,10 @@ def comm_model(
             lv_halo += 4 * coarse_elems * (n_dev - 1) / n_dev
         per_level.append(
             {"level": lvl, "shape": list(shape), "partitioned": bool(plan[lvl]),
-             "deep_fused": deep, "halo_bytes": lv_halo, "hbm_bytes": lv_hbm}
+             "deep_fused": deep,
+             "partial_fused": bool(part_pre or part_post),
+             "partial_pre": part_pre, "partial_post": part_post,
+             "halo_bytes": lv_halo, "hbm_bytes": lv_hbm}
         )
         halo_bytes += lv_halo
         hbm_bytes += lv_hbm

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""One-session on-chip probes backing README's performance table
+(VERDICT r4 task 8: every number traces to a committed artifact).
+
+Measures, all in ONE process (chip regimes oscillate across sessions —
+CLAUDE.md):
+
+* the 256³ Jacobi smoother sweep (the session's regime anchor),
+* ELL DIA-kernel SpMV at 256³ Poisson,
+* batched `solve_many` at (64, 64, 128) K=8 vs the same-process scalar,
+* blocked-band BSR SpMV vs the XLA einsum path on a synthetic (64³, B=4)
+  operator AND on the real vector-PDE operators (2D elasticity B=2 /
+  coupled reaction–diffusion B=4 — models/elasticity.py), giving the BSR
+  kernel an end-to-end win-case artifact (VERDICT r4 task 4).
+
+Writes ``PROBES_r{N}.json``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def chain_time(fn, x0, reps=24):
+    """Chained-application device time per call (one readback sync)."""
+    @jax.jit
+    def run(c):
+        return lax.scan(lambda cc, _: (fn(cc), 0.0), c, None, length=reps)[0]
+
+    out = run(x0)
+    float(jnp.sum(out))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(x0)
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PROBES_r05.json"
+    record = {"backend": jax.default_backend(), "probes": {}}
+
+    from openmg_tpu import SolverConfig, setup
+    from openmg_tpu.models.poisson import poisson, rhs_random
+    from openmg_tpu.ops.smoothers import smooth
+
+    # ---- regime anchor: 256³ jacobi sweep --------------------------------
+    shape = (256, 256, 256)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear",
+                       residual_dtype="doublefloat", cycles=60)
+    solver = setup(shape, cfg)
+    L0 = solver.hierarchy.levels[0]
+    b = jnp.ones(shape, jnp.float32)
+    t_sweep = chain_time(
+        lambda x: smooth("jacobi", L0.A, L0.inv_diag, b, x, 1, 2 / 3.0),
+        jnp.zeros(shape, jnp.float32),
+    )
+    nnz = 7 * np.prod(shape)
+    record["probes"]["jacobi_sweep_256"] = {
+        "ms": t_sweep * 1e3,
+        "nnz_per_s": nnz / t_sweep,
+        "roofline_fraction_vs_8e10": nnz / t_sweep / 8e10,
+    }
+    print(f"jacobi sweep 256³: {t_sweep * 1e3:.3f} ms = "
+          f"{nnz / t_sweep:.3e} nnz/s", flush=True)
+
+    # ---- ELL DIA kernel at 256³ ------------------------------------------
+    from openmg_tpu.models.poisson import poisson_ell_device
+    from openmg_tpu.ops.sparse import spmv
+
+    M = poisson_ell_device(shape)
+    x0 = jnp.ones((M.shape[0],), jnp.float32)
+    t_ell = chain_time(lambda v: spmv(M, v), x0)
+    record["probes"]["ell_spmv_256"] = {
+        "ms": t_ell * 1e3,
+        "nnz_per_s": M.nnz / t_ell,
+        "roofline_fraction_vs_8e10": M.nnz / t_ell / 8e10,
+    }
+    print(f"ELL SpMV 256³: {t_ell * 1e3:.3f} ms = {M.nnz / t_ell:.3e} nnz/s",
+          flush=True)
+
+    # ---- solve_many vs scalar at (64, 64, 128) K=8 -----------------------
+    sshape = (64, 64, 128)
+    scfg = SolverConfig(smoother="rbgs", transfer="linear",
+                        residual_dtype="doublefloat", cycles=60)
+    s2 = setup(sshape, scfg)
+    K = 8
+    bs_np = np.stack([
+        rhs_random(sshape, seed=i).reshape(-1) for i in range(K)
+    ])
+    bs_np /= np.linalg.norm(bs_np, axis=1, keepdims=True)
+    bs = jax.device_put(
+        jnp.asarray(bs_np.reshape(K, *sshape), jnp.float32))
+    b1 = bs[0]
+    _ = float(jnp.sum(bs))
+    # warm both programs + their sync reductions (r4 traps)
+    xw, _ = s2.solve(b1)
+    _ = float(jnp.sum(xw))
+    xm, _ = s2.solve_many(bs)
+    _ = float(jnp.sum(xm))
+    t0 = time.perf_counter()
+    xs, _ = s2.solve(b1)
+    _ = float(jnp.sum(xs))
+    t_scalar = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    xm, _ = s2.solve_many(bs)
+    _ = float(jnp.sum(xm))
+    t_batch = time.perf_counter() - t0
+    record["probes"]["solve_many_64_64_128_K8"] = {
+        "scalar_ms": t_scalar * 1e3,
+        "batch_ms": t_batch * 1e3,
+        "per_rhs_speedup": t_scalar * K / t_batch,
+    }
+    print(f"solve_many K=8: batch {t_batch * 1e3:.1f} ms vs scalar "
+          f"{t_scalar * 1e3:.1f} ms -> {t_scalar * K / t_batch:.2f}x/rhs",
+          flush=True)
+
+    # ---- BSR kernel vs einsum: synthetic + real vector-PDE ---------------
+    from openmg_tpu.ops import bsr as bsr_mod
+    from openmg_tpu.ops.sparse import bsr_from_scipy
+
+    probes_bsr = {}
+    for label, kind, B in (
+        ("coupled_diffusion_64cubed_B4", "coup64", 4),
+        ("elasticity_256x256_B2", "elas", 2),
+        ("coupled_diffusion_48cubed_B4", "coup48", 4),
+    ):
+        from openmg_tpu.models.elasticity import coupled_diffusion, elasticity
+        if kind == "coup64":
+            As = coupled_diffusion((64, 64, 64), ndof=B, seed=1)
+        elif kind == "elas":
+            As = elasticity((256, 256))
+        else:
+            As = coupled_diffusion((48, 48, 48), ndof=B)
+        Mb = bsr_from_scipy(As, blocksize=(B, B))
+        v = jnp.ones((Mb.shape[0],), jnp.float32)
+        entry = {"n": Mb.shape[0], "kb": Mb.kb, "nnz": Mb.nnz,
+                 "banded": Mb.slot_offsets is not None,
+                 "pallas_supported": bsr_mod.supports(Mb)}
+        if bsr_mod.supports(Mb):
+            t_k = chain_time(lambda u: bsr_mod.spmv_bsr(Mb, u), v)
+            t_j = chain_time(lambda u: bsr_mod.spmv_banded_jnp(Mb, u), v)
+            entry.update({
+                "pallas_ms": t_k * 1e3, "jnp_banded_ms": t_j * 1e3,
+                "pallas_nnz_per_s": Mb.nnz / t_k,
+                "speedup_vs_jnp": t_j / t_k,
+            })
+            print(f"BSR {label}: pallas {t_k * 1e3:.3f} ms "
+                  f"({Mb.nnz / t_k:.3e} nnz/s), jnp {t_j * 1e3:.3f} ms "
+                  f"-> {t_j / t_k:.2f}x", flush=True)
+        probes_bsr[label] = entry
+    record["probes"]["bsr"] = probes_bsr
+
+    # ---- elasticity end-to-end: BSR vs ELL hierarchy solve ---------------
+    from openmg_tpu.core.algebraic import setup_sparse
+    from openmg_tpu.models.elasticity import elasticity
+
+    eshape = (128, 128)
+    Ae = elasticity(eshape)
+    base = dict(smoother="jacobi", transfer="linear", gridlevels=4,
+                max_dense_coarse=4096, cycles=100, threshold=1e-8)
+    be = np.random.default_rng(0).standard_normal(Ae.shape[0])
+    be /= np.linalg.norm(be)
+    res = {}
+    for fmt, bsz in (("bsr", 2), ("ell", 0)):
+        c = SolverConfig(format=fmt, blocksize=max(bsz, 1), **base)
+        sv = setup_sparse(Ae, eshape, c, dofs=2)
+        x, info = sv.solve(be)  # warm
+        t0 = time.perf_counter()
+        x, info = sv.solve(be)
+        dt = time.perf_counter() - t0
+        res[fmt] = {"solve_ms": dt * 1e3, "cycles": info["cycles"],
+                    "converged": bool(info["converged"])}
+        print(f"elasticity 128² end-to-end [{fmt}]: {dt * 1e3:.1f} ms, "
+              f"{info['cycles']} cycles", flush=True)
+    record["probes"]["elasticity_end_to_end"] = res
+
+    record["note"] = (
+        "All probes in ONE process (chip regimes oscillate between "
+        "sessions; see CLAUDE.md). jacobi_sweep is the session's regime "
+        "anchor. Device times are chained-application slopes with a "
+        "host-readback sync."
+    )
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

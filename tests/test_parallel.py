@@ -840,3 +840,52 @@ def test_distributed_solve_many_device_native(monkeypatch):
         np.asarray(x_host),
         rtol=1e-12, atol=1e-13,
     )
+
+
+def test_distributed_partial_fusion_matches_single(monkeypatch):
+    """Partial tier on partitioned levels (VERDICT r4 task 1): with the
+    full staged fusions disabled (the 512²-plane situation), the
+    distributed cycle composes chunked smoothing + the stage-free
+    residual_restrict_part + prolong+1-sweep, still matching the
+    single-device solve."""
+    from openmg_tpu.ops import fused
+    from openmg_tpu.parallel import fast
+
+    shape = (32, 16, 32)
+    cfg = SolverConfig(smoother="rbgs", transfer="linear",
+                       residual_dtype="doublefloat", cycles=60,
+                       gridlevels=3, max_dense_coarse=4096,
+                       threshold=1e-9)
+    b = rhs_random(shape, seed=11)
+    single = setup(shape, cfg)
+    x1, info1 = single.solve(b)
+
+    monkeypatch.setattr(fast, "presmooth_restrict_part",
+                        lambda *a, **k: None)
+    orig_psp = fast.prolong_smooth_part
+
+    def psp_one_only(name, op, b_, x_, ec, iters, omega, transfer, ax, nd):
+        if iters > 1:
+            return None
+        return orig_psp(name, op, b_, x_, ec, iters, omega, transfer,
+                        ax, nd)
+
+    monkeypatch.setattr(fast, "prolong_smooth_part", psp_one_only)
+    calls = {"rr": 0}
+    orig_rr = fast.residual_restrict_part
+
+    def counting_rr(*a, **k):
+        out = orig_rr(*a, **k)
+        if out is not None:
+            calls["rr"] += 1
+        return out
+
+    monkeypatch.setattr(fast, "residual_restrict_part", counting_rr)
+    dist = DistributedSolver(single.hierarchy, cfg, MeshConfig(n_devices=8))
+    x8, info8 = dist.solve(b)
+    assert calls["rr"] > 0, "the stage-free partial tier must engage"
+    assert info8["converged"] == info1["converged"]
+    assert abs(info8["cycles"] - info1["cycles"]) <= 1
+    np.testing.assert_allclose(
+        np.asarray(x8), np.asarray(x1), rtol=1e-8, atol=1e-10
+    )
