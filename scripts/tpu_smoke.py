@@ -326,6 +326,68 @@ def main():
     )
     ok &= bool(info_sd["converged"])
 
+    # r5 kernels at their target plane sizes.  (a) Whole-plane fused 2D:
+    # ALL stages + residual in one launch, const (512²) and cornered
+    # (via a 2D hierarchy level).  (b) Stage-free partial fusions at the
+    # 1 MB-plane size their VMEM fit was calibrated for — (64, 512, 512)
+    # is exactly a 512³/8-device local block.
+    print("whole-plane fused 2D (512² const + cornered level):")
+    from openmg_tpu.ops import fused
+    from openmg_tpu.ops.smoothers import smooth as smooth_any
+    from openmg_tpu.ops.stencil import residual as st_resid
+    from openmg_tpu.ops.transfer import restrict as tr_restrict
+
+    s2d = setup(
+        (512, 512),
+        SolverConfig(
+            smoother="rbgs", transfer="linear", gridlevels=3,
+            max_dense_coarse=99999, residual_dtype="doublefloat",
+        ),
+    )
+    h2d = s2d.hierarchy
+    for lvl, atol in ((0, 2e-4), (1, 2e-3)):
+        L2d = h2d.levels[lvl]
+        s_ = L2d.A.grid_shape
+        b2d = jnp.asarray(rhs_random(s_, seed=8), jnp.float32)
+        x2d = jnp.asarray(rhs_random(s_, seed=9), jnp.float32)
+        got2d = fused._fused2d("rbgs", L2d.A, b2d, x2d, 2, 2.0 / 3.0, False)
+        assert got2d is not None, f"2D fusion must engage at {s_}"
+        want2d = smooth_any(
+            "rbgs", L2d.A, L2d.inv_diag, b2d, x2d, 2, 2.0 / 3.0,
+            use_pallas=False,
+        )
+        ok &= check(f"fused2d rbgs x2 L{lvl} {s_}", got2d, want2d, atol=atol)
+
+    print("stage-free partial fusions ((64,512,512) local block):")
+    shp512 = (64, 512, 512)
+    op512 = StencilOperator(None, offsets, vals, shp512)
+    b512 = jnp.asarray(rhs_random(shp512, seed=10), jnp.float32)
+    x512 = jnp.asarray(rhs_random(shp512, seed=11), jnp.float32)
+    tr512 = h2d.transfer
+    bc512 = fused.residual_restrict_fused(op512, b512, x512, tr512)
+    assert bc512 is not None, "residual_restrict must engage at 1 MB planes"
+    ok &= check(
+        "residual+restrict (512² planes)",
+        bc512,
+        tr_restrict(st_resid(op512, b512, x512), tr512),
+        atol=2e-4,
+    )
+    ec512 = jnp.asarray(
+        rhs_random((32, 256, 256), seed=12), jnp.float32
+    )
+    y512 = fused.prolong_smooth_fused(
+        "rbgs", op512, b512, x512, ec512, 1, 2.0 / 3.0, tr512
+    )
+    assert y512 is not None, "prolong+1-sweep must engage at 1 MB planes"
+    from openmg_tpu.ops.transfer import prolong as tr_prolong
+
+    want512 = smooth_any(
+        "rbgs", op512, 1.0 / vals[0], b512,
+        x512 + tr_prolong(ec512, shp512, tr512), 1, 2.0 / 3.0,
+        use_pallas=False,
+    )
+    ok &= check("prolong+1-sweep (512² planes)", y512, want512, atol=2e-4)
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -889,3 +889,40 @@ def test_distributed_partial_fusion_matches_single(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(x8), np.asarray(x1), rtol=1e-8, atol=1e-10
     )
+
+
+def test_comm_model_calibration():
+    """Pin comm_model's HBM accounting to the on-chip measurements
+    (VERDICT r4 task 5): re-run the model at the artifact's configs and
+    assert (a) the model reproduces the recorded model bytes — any tier
+    change without recalibration fails here — and (b) the recorded
+    model-vs-XLA-cost-analysis agreement held within 30%."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).parent.parent / "MODELCAL_r05.json"
+    if not path.exists():
+        pytest.skip("MODELCAL_r05.json not generated yet")
+    from openmg_tpu.parallel.model import comm_model
+
+    data = json.loads(path.read_text())
+    for rec in data["records"]:
+        shape = tuple(rec["shape"])
+        if shape != (256, 256, 256):
+            continue  # 512³ CPU setup is too heavy for CI; 256³ pins it
+        cfg = SolverConfig(smoother="rbgs", transfer="linear",
+                           residual_dtype="doublefloat", cycles=60)
+        solver = setup(shape, cfg)
+        sd = DistributedSolver(
+            solver.hierarchy, cfg,
+            MeshConfig(n_devices=1, force_partition=True),
+        )
+        model = comm_model(sd)
+        np.testing.assert_allclose(
+            model["hbm_bytes_per_cycle"],
+            rec["model_hbm_bytes_per_cycle_total"],
+            rtol=1e-6,
+            err_msg="comm_model drifted from the calibrated artifact — "
+            "re-run scripts/calibrate_model.py on the chip",
+        )
+        assert 0.7 <= rec["model_over_xla"] <= 1.3, rec["model_over_xla"]
