@@ -20,6 +20,17 @@ every exchange serially per device) and under-counts compute constants,
 so the bounds are conservative.  Default bandwidths: HBM 819 GB/s
 (measured on this v5e by bench.py's stream test); ICI 4.5e10 B/s per
 direction is a placeholder for one v5e ICI link — pass your pod's number.
+
+Chip calibration (MODELCAL_r05.json, scripts/calibrate_model.py): at
+512³ forced-partition — where HBM bytes dominate the launch floors —
+the model's per-cycle bytes are **0.67×** the measured cycle-time ×
+stream-bandwidth product.  The gap is fused-window re-reads
+((4S−2)/tz extra plane streams per chunk) and redundant halo recompute,
+which the model deliberately does not charge; the under-count makes the
+efficiency bounds conservative (comm fraction over-weighted).  XLA cost
+analysis cannot validate this model: Pallas custom calls carry no byte
+counts (it reported 5.3e7 B for a whole 256³ cycle).  The CI pin is
+tests/test_parallel.py::test_comm_model_calibration.
 """
 
 from __future__ import annotations

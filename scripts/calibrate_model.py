@@ -36,24 +36,13 @@ from jax import lax
 
 
 def stream_bw():
-    """Measured HBM copy bandwidth (bytes/s) via a big chained copy."""
-    n = 64 * 1024 * 1024  # 256 MB f32
-    x = jnp.ones((n,), jnp.float32)
+    """Measured HBM copy bandwidth (bytes/s) — bench.py's amortized
+    fori_loop chain (a small 256 MB × 8-step scan under-measured 143
+    vs 819 GB/s here: the chain is too short to amortize relay dispatch
+    latency)."""
+    from bench import measure_stream_bandwidth
 
-    @jax.jit
-    def run(v):
-        return lax.scan(lambda c, _: (c * 1.000001, 0.0), v, None,
-                        length=8)[0]
-
-    out = run(x)
-    float(jnp.sum(out))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(x)
-        float(jnp.sum(out))
-        best = min(best, (time.perf_counter() - t0) / 8)
-    return 2 * 4 * n / best  # read + write per step
+    return measure_stream_bandwidth()
 
 
 def main():
@@ -81,10 +70,12 @@ def main():
         def cyc(rr, s_=sd):
             return s_._cycle(s_.level_data, s_.coarse_inv, rr)
 
+        reps = 24 if shape[0] <= 256 else 8
+
         @jax.jit
         def chain(c):
             return lax.scan(
-                lambda cc, _: (cyc(cc), 0.0), c, None, length=8
+                lambda cc, _: (cyc(cc), 0.0), c, None, length=reps
             )[0]
 
         t0 = time.perf_counter()
@@ -103,7 +94,7 @@ def main():
             t0 = time.perf_counter()
             out = chain(r0)
             float(jnp.sum(out))
-            best = min(best, (time.perf_counter() - t0) / 8)
+            best = min(best, (time.perf_counter() - t0) / reps)
         tbw_bytes = best * bw
         model_bytes = float(model["hbm_bytes_per_cycle"])
         # the model's separate df outer-step charge is NOT in the cycle

@@ -126,6 +126,47 @@ def main():
           f"{t_scalar * 1e3:.1f} ms -> {t_scalar * K / t_batch:.2f}x/rhs",
           flush=True)
 
+    # ---- 2D tiers: whole-plane fused vs per-half-sweep -------------------
+    # (VERDICT r4 task 6: ≤1024² sits on the per-kernel launch floor; the
+    # whole-plane kernel runs ALL stages + residual in one launch)
+    from openmg_tpu.ops import fused as fused_mod
+
+    probes_2d = {}
+    for n2 in (256, 512, 1024):
+        s2 = (n2, n2)
+        c2 = SolverConfig(smoother="rbgs", transfer="linear",
+                          residual_dtype="doublefloat", gridlevels=3,
+                          max_dense_coarse=1 << 22)
+        sv2 = setup(s2, c2)
+        L2 = sv2.hierarchy.levels[0]
+        b2 = jnp.ones(s2, jnp.float32)
+        t_f = chain_time(
+            lambda x: smooth("rbgs", L2.A, L2.inv_diag, b2, x, 2, 2 / 3.0),
+            jnp.zeros(s2, jnp.float32),
+        )
+        orig2d = fused_mod._fused2d
+        try:
+            fused_mod._fused2d = lambda *a, **k: None
+            t_u = chain_time(
+                lambda x: smooth(
+                    "rbgs", L2.A, L2.inv_diag, b2, x, 2, 2 / 3.0
+                ),
+                jnp.zeros(s2, jnp.float32),
+            )
+        finally:
+            fused_mod._fused2d = orig2d
+        nnz2 = 5 * n2 * n2 * 2  # 2 rbgs sweeps, 5-point
+        probes_2d[f"{n2}x{n2}"] = {
+            "fused_ms": t_f * 1e3,
+            "unfused_ms": t_u * 1e3,
+            "speedup": t_u / t_f,
+            "fused_nnz_per_s": nnz2 / t_f,
+        }
+        print(f"2D rbgs x2 at {n2}²: fused {t_f * 1e3:.3f} ms vs per-sweep "
+              f"{t_u * 1e3:.3f} ms -> {t_u / t_f:.2f}x "
+              f"({nnz2 / t_f:.2e} nnz/s)", flush=True)
+    record["probes"]["fused2d_smoothing"] = probes_2d
+
     # ---- BSR kernel vs einsum: synthetic + real vector-PDE ---------------
     from openmg_tpu.ops import bsr as bsr_mod
     from openmg_tpu.ops.sparse import bsr_from_scipy
@@ -161,6 +202,41 @@ def main():
                   f"-> {t_j / t_k:.2f}x", flush=True)
         probes_bsr[label] = entry
     record["probes"]["bsr"] = probes_bsr
+
+    # ---- ELL DIA kernel vs jnp shifted-slices: crossover map -------------
+    # (VERDICT r4 weak #5: the prefer_kernel heuristic was trusted beyond
+    # one measured point — this sweeps band width H and size n)
+    from openmg_tpu.ops import ell as ell_mod
+    from openmg_tpu.ops.sparse import ell_from_scipy
+    import scipy.sparse as sp
+
+    def banded(n, H):
+        offs = [-H, -1, 0, 1, H] if H > 1 else [-2, -1, 0, 1, 2]
+        vals = [-1.0, -2.0, 6.5, -2.0, -1.0]
+        return sp.diags(vals, offsets=offs, shape=(n, n), format="csr")
+
+    crossover = {}
+    for n, H in ((1 << 20, 2), (1 << 22, 2), (1 << 20, 1024),
+                 (1 << 22, 1024), (1 << 21, 1 << 14), (1 << 24, 1 << 16)):
+        M = ell_from_scipy(banded(n, H))
+        if M.slot_offsets is None or not ell_mod.supports(M):
+            continue
+        v = jnp.ones((n,), jnp.float32)
+        t_k = chain_time(lambda u, M=M: ell_mod.spmv_ell(M, u), v, reps=16)
+        t_j = chain_time(
+            lambda u, M=M: ell_mod.spmv_banded_jnp(M.data, M.slot_offsets, u),
+            v, reps=16,
+        )
+        key = f"n{n}_H{H}"
+        crossover[key] = {
+            "n": n, "H": H, "pallas_ms": t_k * 1e3, "jnp_ms": t_j * 1e3,
+            "pallas_wins": t_k < t_j,
+            "prefer_kernel_says": bool(ell_mod.prefer_kernel(M)),
+        }
+        print(f"ELL crossover n={n} H={H}: pallas {t_k * 1e3:.3f} ms, "
+              f"jnp {t_j * 1e3:.3f} ms, heuristic="
+              f"{ell_mod.prefer_kernel(M)}", flush=True)
+    record["probes"]["ell_crossover"] = crossover
 
     # ---- elasticity end-to-end: BSR vs ELL hierarchy solve ---------------
     from openmg_tpu.core.algebraic import setup_sparse

@@ -925,4 +925,16 @@ def test_comm_model_calibration():
             err_msg="comm_model drifted from the calibrated artifact — "
             "re-run scripts/calibrate_model.py on the chip",
         )
-        assert 0.7 <= rec["model_over_xla"] <= 1.3, rec["model_over_xla"]
+    # chip validation band (512³, where bytes dominate the launch
+    # floors): model = 0.55–0.95 × measured-time×stream-BW.  The model
+    # deliberately omits fused-window re-reads and redundant halo
+    # recompute, so it UNDER-counts compute — the efficiency bounds it
+    # produces are conservative (lower) bounds.  XLA cost analysis is
+    # recorded but NOT asserted: Pallas custom calls are invisible to it
+    # (it reported 5.3e7 B for a 256³ cycle — less than one array).
+    rec512 = next(
+        r for r in data["records"] if tuple(r["shape"]) == (512, 512, 512)
+    )
+    assert 0.55 <= rec512["model_over_timebw"] <= 0.95, (
+        rec512["model_over_timebw"]
+    )
