@@ -835,12 +835,13 @@ def fused_stages_const_3d(
 
 
 def _fused2d(name, op, b, x, iterations: int, omega: float,
-             emit_residual: bool):
+             emit_residual: bool, restrict_transfer=None, ec=None,
+             prolong_transfer=None):
     """Whole-plane 2D stage fusion (kernels.fused_stages_2d): ALL stages
-    (+ optional residual) in ONE launch — the ≤1024² tier's answer to
-    the per-kernel launch floor (VERDICT r4 task 6).  Exact on cornered
-    operators via the O(K) delta algebra.  Returns the kernel result or
-    None when not applicable."""
+    (+ optional residual, in-kernel restriction, fused prolongation) in
+    ONE launch — the ≤1024² tier's answer to the per-kernel launch floor
+    (VERDICT r4 task 6).  Exact on cornered operators via the O(K) delta
+    algebra.  Returns the kernel result or None when not applicable."""
     from openmg_tpu.ops import kernels
     from openmg_tpu.ops.stencil import CorneredOperator
 
@@ -856,11 +857,24 @@ def _fused2d(name, op, b, x, iterations: int, omega: float,
         return None
     if not kernels.supports_fused2d(op.offsets, b.shape):
         return None
+    for tr in (restrict_transfer, prolong_transfer):
+        if tr is not None:
+            ny, nx = b.shape
+            if (
+                ny % 2
+                or nx % 2
+                or any(abs(t) > 1 for t, _ in tr.r_taps)
+                or any(abs(t) > 1 for t, _ in tr.p_taps)
+            ):
+                return None
     return kernels.fused_stages_2d(
         op.values, op.offsets, b, x, stages,
         deltas=op.deltas if corner else None,
         subsets=op.subsets if corner else None,
         emit_residual=emit_residual,
+        restrict_transfer=restrict_transfer,
+        ec=ec,
+        prolong_transfer=prolong_transfer,
     )
 
 
@@ -968,6 +982,11 @@ def presmooth_restrict_fused(
     or None when unsupported.  ``x=None`` is the zero-start path (reads
     only ``b``).  Replaces presmooth (3 passes) + residual (3) + restrict
     (~2.6) with one kernel that never materializes the fine residual."""
+    if b.ndim == 2 and halos is None:
+        return _fused2d(
+            name, op, b, x, iterations, omega, True,
+            restrict_transfer=transfer,
+        )
     stages = stages_for(name, iterations, omega)
     if (
         stages is None
@@ -1069,6 +1088,11 @@ def prolong_smooth_fused(
     returns ``smooth(b, x + P ec)`` without materializing ``P ec``, or
     None when unsupported (the caller then runs prolong + smooth
     separately)."""
+    if b.ndim == 2 and halos is None:
+        return _fused2d(
+            name, op, b, x, iterations, omega, False,
+            ec=ec, prolong_transfer=transfer,
+        )
     stages = stages_for(name, iterations, omega)
     if (
         stages is None

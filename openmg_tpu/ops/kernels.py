@@ -991,11 +991,31 @@ def _shift2d_full(v, oy: int, ox: int):
 
 
 def _fused2d_kernel(
-    vals_ref, deltas_ref, b_ref, *rest, offsets, subsets, stages,
-    emit_residual, zero_start, ny, nx,
+    vals_ref, deltas_ref, *rest, offsets, subsets, stages,
+    emit_residual, zero_start, ny, nx, restrict=False, prolong=False,
 ):
     refs = list(rest)
+    if restrict:
+        My_ref, Mx_ref = refs.pop(0), refs.pop(0)
+    if prolong:
+        Py_ref, Px_ref = refs.pop(0), refs.pop(0)
+    b_ref = refs.pop(0)
     x = jnp.zeros((ny, nx), b_ref.dtype) if zero_start else refs.pop(0)[...]
+    if prolong:
+        # coarse-correction prolongation fused in: x += My ec Mxᵀ (two
+        # in-VMEM matmuls — MXU work, no HBM round-trip for P ec)
+        ec = refs.pop(0)[...]
+        t1 = jax.lax.dot_general(
+            ec, Py_ref[...], (((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (nxc, ny)
+        up = jax.lax.dot_general(
+            t1, Px_ref[...], (((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (ny, nx)
+        x = x + up
     out_x = refs.pop(0)
     out_r = refs.pop(0) if emit_residual else None
     b = b_ref[...]
@@ -1061,17 +1081,38 @@ def _fused2d_kernel(
             x = jnp.where(par == p, xn, x)
     out_x[...] = x
     if emit_residual:
-        out_r[...] = b - apply_op(x, False)
+        r = b - apply_op(x, False)
+        if restrict:
+            # bc = Myᵀ r Mx — the level residual restricted in-kernel
+            t1 = jax.lax.dot_general(
+                r, My_ref[...], (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (nx, nyc)
+            out_r[...] = jax.lax.dot_general(
+                t1, Mx_ref[...], (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (nyc, nxc)
+        else:
+            out_r[...] = r
 
 
 def fused_stages_2d(
     values, offsets, b, x, stages, *, deltas=None, subsets=None,
-    emit_residual=False,
+    emit_residual=False, restrict_transfer=None, ec=None,
+    prolong_transfer=None,
 ):
     """S half-sweeps (+ optional residual) on a whole-VMEM 2D plane in
     ONE Pallas launch.  ``x=None`` is the zero-start path (reads only
     ``b``).  ``deltas``/``subsets`` select the exact cornered-operator
-    algebra.  Returns ``x'`` or ``(x', r)``."""
+    algebra.  ``restrict_transfer`` (with ``emit_residual``) restricts
+    the residual in-kernel (``bc = Mᵀ r M``, MXU matmuls) — returns
+    ``(x', bc)``; ``ec`` + ``prolong_transfer`` starts from
+    ``x + P ec`` (prolongation fused in).  Returns ``x'`` or
+    ``(x', r_or_bc)``."""
+    from openmg_tpu.ops.transfer import _axis_matrix
+
     ny, nx = b.shape
     offsets = tuple(tuple(o) for o in offsets)
     subsets = tuple(tuple(s) for s in subsets) if subsets is not None else None
@@ -1084,24 +1125,57 @@ def fused_stages_2d(
         zero_start=x is None,
         ny=ny,
         nx=nx,
+        restrict=restrict_transfer is not None,
+        prolong=ec is not None,
     )
     K = len(offsets)
     vals2d = values.reshape(1, -1)
     if deltas is None:
         deltas = jnp.zeros((1, K), values.dtype)
     plane_spec = pl.BlockSpec((ny, nx), lambda: (0, 0), memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(
+            tuple(a.shape), lambda: (0,) * a.ndim, memory_space=pltpu.VMEM
+        )
+
     in_specs = [
         pl.BlockSpec((1, K), lambda: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(
             (deltas.shape[0], K), lambda: (0, 0), memory_space=pltpu.SMEM
         ),
-        plane_spec,
     ]
-    args = [vals2d, deltas, b]
+    args = [vals2d, deltas]
+    if restrict_transfer is not None:
+        My = jnp.asarray(_axis_matrix(ny, tuple(restrict_transfer.r_taps),
+                                      "float32"))
+        Mx = jnp.asarray(_axis_matrix(nx, tuple(restrict_transfer.r_taps),
+                                      "float32"))
+        in_specs += [whole(My), whole(Mx)]
+        args += [My, Mx]
+    if ec is not None:
+        Py = jnp.asarray(_axis_matrix(ny, tuple(prolong_transfer.p_taps),
+                                      "float32"))
+        Px = jnp.asarray(_axis_matrix(nx, tuple(prolong_transfer.p_taps),
+                                      "float32"))
+        in_specs += [whole(Py), whole(Px)]
+        args += [Py, Px]
+    in_specs.append(plane_spec)
+    args.append(b)
     if x is not None:
         in_specs.append(plane_spec)
         args.append(x)
-    n_out = 2 if emit_residual else 1
+    if ec is not None:
+        in_specs.append(whole(ec))
+        args.append(ec)
+    if emit_residual and restrict_transfer is not None:
+        r_spec = pl.BlockSpec(
+            (ny // 2, nx // 2), lambda: (0, 0), memory_space=pltpu.VMEM
+        )
+        r_struct = jax.ShapeDtypeStruct((ny // 2, nx // 2), b.dtype)
+    else:
+        r_spec = plane_spec
+        r_struct = jax.ShapeDtypeStruct(b.shape, b.dtype)
     interpret = jax.default_backend() != "tpu"
     extra = (
         {}
@@ -1117,12 +1191,10 @@ def fused_stages_2d(
         grid=(),
         in_specs=in_specs,
         out_specs=(
-            (plane_spec, plane_spec) if emit_residual else plane_spec
+            (plane_spec, r_spec) if emit_residual else plane_spec
         ),
         out_shape=(
-            tuple(
-                jax.ShapeDtypeStruct(b.shape, b.dtype) for _ in range(n_out)
-            )
+            (jax.ShapeDtypeStruct(b.shape, b.dtype), r_struct)
             if emit_residual
             else jax.ShapeDtypeStruct(b.shape, b.dtype)
         ),

@@ -467,3 +467,43 @@ def test_partial_fusion_cycle_parity(monkeypatch):
     assert i_part["cycles"] == i_ref["cycles"]
     np.testing.assert_allclose(np.asarray(x_part), np.asarray(x_ref),
                                rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_fused2d_transfers(lvl):
+    """2D whole-plane fusion with in-kernel transfers: presmooth +
+    residual + restriction in one launch, and prolong + post-smooth in
+    one launch (const fine + cornered Galerkin level)."""
+    from openmg_tpu.ops.stencil import residual as st_resid
+    from openmg_tpu.ops.transfer import prolong, restrict
+
+    h = _hier2d()
+    L = h.levels[lvl]
+    s = L.A.grid_shape
+    rng = np.random.default_rng(20 + lvl)
+    b = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(s), jnp.float32)
+    out = fused.presmooth_restrict_fused(
+        "rbgs", L.A, b, None, 2, 2.0 / 3.0, h.transfer
+    )
+    assert out is not None
+    xs, bc = out
+    ref_x = smooth("rbgs", L.A, L.inv_diag, b, jnp.zeros_like(b), 2,
+                   2.0 / 3.0, use_pallas=False)
+    ref_bc = restrict(st_resid(L.A, b, ref_x), h.transfer)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_x),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bc), np.asarray(ref_bc),
+                               rtol=0, atol=1e-4)
+
+    cs = tuple(v // 2 for v in s)
+    ec = jnp.asarray(rng.standard_normal(cs), jnp.float32)
+    y = fused.prolong_smooth_fused(
+        "rbgs", L.A, b, x, ec, 2, 2.0 / 3.0, h.transfer
+    )
+    assert y is not None
+    ref_y = smooth("rbgs", L.A, L.inv_diag, b,
+                   x + prolong(ec, s, h.transfer), 2, 2.0 / 3.0,
+                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                               rtol=0, atol=1e-4)
