@@ -30,18 +30,24 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def chain_time(fn, x0, reps=24):
-    """Chained-application device time per call (one readback sync)."""
-    @jax.jit
-    def run(c):
-        return lax.scan(lambda cc, _: (fn(cc), 0.0), c, None, length=reps)[0]
+def chain_time(fn, x0, *args, reps=24):
+    """Chained-application device time per call (one readback sync).
 
-    out = run(x0)
+    Extra ``args`` are passed to ``fn`` as jit ARGUMENTS — closing over
+    big device arrays inlines them as HLO constants and overflows the
+    remote-compile relay (HTTP 413; CLAUDE.md)."""
+    @jax.jit
+    def run(c, *a):
+        return lax.scan(
+            lambda cc, _: (fn(cc, *a), 0.0), c, None, length=reps
+        )[0]
+
+    out = run(x0, *args)
     float(jnp.sum(out))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(x0)
+        out = run(x0, *args)
         float(jnp.sum(out))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
@@ -51,11 +57,16 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PROBES_r05.json"
     record = {"backend": jax.default_backend(), "probes": {}}
 
+    def flush_record():
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+
     from openmg_tpu import SolverConfig, setup
     from openmg_tpu.models.poisson import poisson, rhs_random
     from openmg_tpu.ops.smoothers import smooth
 
-    # ---- regime anchor: 256³ jacobi sweep --------------------------------
+    # ---- regime anchor: 256³ fused jacobi sweep (bench.py's metric:
+    # 50 fused sweeps per dispatch, per-sweep slope) -----------------------
     shape = (256, 256, 256)
     cfg = SolverConfig(smoother="rbgs", transfer="linear",
                        residual_dtype="doublefloat", cycles=60)
@@ -63,9 +74,11 @@ def main():
     L0 = solver.hierarchy.levels[0]
     b = jnp.ones(shape, jnp.float32)
     t_sweep = chain_time(
-        lambda x: smooth("jacobi", L0.A, L0.inv_diag, b, x, 1, 2 / 3.0),
+        lambda x, A, ind, bb: smooth("jacobi", A, ind, bb, x, 50, 2 / 3.0),
         jnp.zeros(shape, jnp.float32),
-    )
+        L0.A, L0.inv_diag, b,
+        reps=1,
+    ) / 50
     nnz = 7 * np.prod(shape)
     record["probes"]["jacobi_sweep_256"] = {
         "ms": t_sweep * 1e3,
@@ -74,6 +87,7 @@ def main():
     }
     print(f"jacobi sweep 256³: {t_sweep * 1e3:.3f} ms = "
           f"{nnz / t_sweep:.3e} nnz/s", flush=True)
+    flush_record()
 
     # ---- ELL DIA kernel at 256³ ------------------------------------------
     from openmg_tpu.models.poisson import poisson_ell_device
@@ -81,7 +95,7 @@ def main():
 
     M = poisson_ell_device(shape)
     x0 = jnp.ones((M.shape[0],), jnp.float32)
-    t_ell = chain_time(lambda v: spmv(M, v), x0)
+    t_ell = chain_time(lambda v, Mm: spmv(Mm, v), x0, M)
     record["probes"]["ell_spmv_256"] = {
         "ms": t_ell * 1e3,
         "nnz_per_s": M.nnz / t_ell,
@@ -89,6 +103,7 @@ def main():
     }
     print(f"ELL SpMV 256³: {t_ell * 1e3:.3f} ms = {M.nnz / t_ell:.3e} nnz/s",
           flush=True)
+    flush_record()
 
     # ---- solve_many vs scalar at (64, 64, 128) K=8 -----------------------
     sshape = (64, 64, 128)
@@ -125,47 +140,67 @@ def main():
     print(f"solve_many K=8: batch {t_batch * 1e3:.1f} ms vs scalar "
           f"{t_scalar * 1e3:.1f} ms -> {t_scalar * K / t_batch:.2f}x/rhs",
           flush=True)
+    flush_record()
 
     # ---- 2D tiers: whole-plane fused vs per-half-sweep -------------------
-    # (VERDICT r4 task 6: ≤1024² sits on the per-kernel launch floor; the
-    # whole-plane kernel runs ALL stages + residual in one launch)
+    # (VERDICT r4 task 6.)  The scan-per-rep method has a ~1 ms/iteration
+    # floor on this backend (measured: 256² and 512², fused or not, all
+    # timed 1.02 ms/rep), so this uses bench.py's method instead: MANY
+    # smoothing iterations per dispatch — the fused path runs them all in
+    # ONE kernel, the per-sweep path in 2·iters kernels, so the
+    # difference isolates the launch floor the fusion removes.
     from openmg_tpu.ops import fused as fused_mod
+
+    def time_sweeps(op, inv_d, bb, iters, reps=3):
+        f = jax.jit(
+            lambda A, ind, b_, x_: smooth(
+                "rbgs", A, ind, b_, x_, iters, 2 / 3.0
+            )
+        )
+        x_ = jnp.zeros(bb.shape, jnp.float32)
+        float(jnp.sum(f(op, inv_d, bb, x_)))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            y = f(op, inv_d, bb, x_)
+            float(jnp.sum(y))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     probes_2d = {}
     for n2 in (256, 512, 1024):
-        s2 = (n2, n2)
-        c2 = SolverConfig(smoother="rbgs", transfer="linear",
-                          residual_dtype="doublefloat", gridlevels=3,
-                          max_dense_coarse=1 << 22)
-        sv2 = setup(s2, c2)
-        L2 = sv2.hierarchy.levels[0]
-        b2 = jnp.ones(s2, jnp.float32)
-        t_f = chain_time(
-            lambda x: smooth("rbgs", L2.A, L2.inv_diag, b2, x, 2, 2 / 3.0),
-            jnp.zeros(s2, jnp.float32),
-        )
-        orig2d = fused_mod._fused2d
         try:
-            fused_mod._fused2d = lambda *a, **k: None
-            t_u = chain_time(
-                lambda x: smooth(
-                    "rbgs", L2.A, L2.inv_diag, b2, x, 2, 2 / 3.0
-                ),
-                jnp.zeros(s2, jnp.float32),
-            )
-        finally:
-            fused_mod._fused2d = orig2d
-        nnz2 = 5 * n2 * n2 * 2  # 2 rbgs sweeps, 5-point
-        probes_2d[f"{n2}x{n2}"] = {
-            "fused_ms": t_f * 1e3,
-            "unfused_ms": t_u * 1e3,
-            "speedup": t_u / t_f,
-            "fused_nnz_per_s": nnz2 / t_f,
-        }
-        print(f"2D rbgs x2 at {n2}²: fused {t_f * 1e3:.3f} ms vs per-sweep "
-              f"{t_u * 1e3:.3f} ms -> {t_u / t_f:.2f}x "
-              f"({nnz2 / t_f:.2e} nnz/s)", flush=True)
-    record["probes"]["fused2d_smoothing"] = probes_2d
+            s2d = (n2, n2)
+            c2 = SolverConfig(smoother="rbgs", transfer="linear",
+                              residual_dtype="doublefloat", gridlevels=3,
+                              max_dense_coarse=1 << 22)
+            sv2 = setup(s2d, c2)
+            L2 = sv2.hierarchy.levels[0]
+            b2 = jnp.ones(s2d, jnp.float32)
+            iters = 20
+            t_f = time_sweeps(L2.A, L2.inv_diag, b2, iters)
+            orig2d = fused_mod._fused2d
+            try:
+                fused_mod._fused2d = lambda *a, **k: None
+                t_u = time_sweeps(L2.A, L2.inv_diag, b2, iters)
+            finally:
+                fused_mod._fused2d = orig2d
+            nnz2 = 5 * n2 * n2 * iters
+            probes_2d[f"{n2}x{n2}"] = {
+                "iters_per_dispatch": iters,
+                "fused_ms": t_f * 1e3,
+                "unfused_ms": t_u * 1e3,
+                "speedup": t_u / t_f,
+                "fused_nnz_per_s": nnz2 / t_f,
+            }
+            print(f"2D rbgs x{iters} at {n2}²: fused {t_f * 1e3:.2f} ms vs "
+                  f"per-sweep {t_u * 1e3:.2f} ms -> {t_u / t_f:.2f}x "
+                  f"({nnz2 / t_f:.2e} nnz/s)", flush=True)
+        except Exception as e:  # record partial results, never lose the run
+            probes_2d[f"{n2}x{n2}"] = {"error": repr(e)[:300]}
+            print(f"2D probe at {n2}² failed: {e!r}", flush=True)
+        record["probes"]["fused2d_smoothing"] = probes_2d
+        flush_record()
 
     # ---- BSR kernel vs einsum: synthetic + real vector-PDE ---------------
     from openmg_tpu.ops import bsr as bsr_mod
@@ -190,8 +225,12 @@ def main():
                  "banded": Mb.slot_offsets is not None,
                  "pallas_supported": bsr_mod.supports(Mb)}
         if bsr_mod.supports(Mb):
-            t_k = chain_time(lambda u: bsr_mod.spmv_bsr(Mb, u), v)
-            t_j = chain_time(lambda u: bsr_mod.spmv_banded_jnp(Mb, u), v)
+            t_k = chain_time(
+                lambda u, Mm: bsr_mod.spmv_bsr(Mm, u), v, Mb
+            )
+            t_j = chain_time(
+                lambda u, Mm: bsr_mod.spmv_banded_jnp(Mm, u), v, Mb
+            )
             entry.update({
                 "pallas_ms": t_k * 1e3, "jnp_banded_ms": t_j * 1e3,
                 "pallas_nnz_per_s": Mb.nnz / t_k,
@@ -202,6 +241,7 @@ def main():
                   f"-> {t_j / t_k:.2f}x", flush=True)
         probes_bsr[label] = entry
     record["probes"]["bsr"] = probes_bsr
+    flush_record()
 
     # ---- ELL DIA kernel vs jnp shifted-slices: crossover map -------------
     # (VERDICT r4 weak #5: the prefer_kernel heuristic was trusted beyond
@@ -222,10 +262,13 @@ def main():
         if M.slot_offsets is None or not ell_mod.supports(M):
             continue
         v = jnp.ones((n,), jnp.float32)
-        t_k = chain_time(lambda u, M=M: ell_mod.spmv_ell(M, u), v, reps=16)
+        so = M.slot_offsets
+        t_k = chain_time(
+            lambda u, Mm: ell_mod.spmv_ell(Mm, u), v, M, reps=16
+        )
         t_j = chain_time(
-            lambda u, M=M: ell_mod.spmv_banded_jnp(M.data, M.slot_offsets, u),
-            v, reps=16,
+            lambda u, d, so=so: ell_mod.spmv_banded_jnp(d, so, u),
+            v, M.data, reps=16,
         )
         key = f"n{n}_H{H}"
         crossover[key] = {
@@ -237,6 +280,7 @@ def main():
               f"jnp {t_j * 1e3:.3f} ms, heuristic="
               f"{ell_mod.prefer_kernel(M)}", flush=True)
     record["probes"]["ell_crossover"] = crossover
+    flush_record()
 
     # ---- elasticity end-to-end: BSR vs ELL hierarchy solve ---------------
     from openmg_tpu.core.algebraic import setup_sparse
@@ -261,6 +305,7 @@ def main():
         print(f"elasticity 128² end-to-end [{fmt}]: {dt * 1e3:.1f} ms, "
               f"{info['cycles']} cycles", flush=True)
     record["probes"]["elasticity_end_to_end"] = res
+    flush_record()
 
     record["note"] = (
         "All probes in ONE process (chip regimes oscillate between "
