@@ -962,12 +962,6 @@ def supports_fused2d(offsets, shape, k: int | None = None) -> bool:
     if not (nx % 128 == 0 or nx in (32, 64)) or ny < 8:
         return False
     plane = ny * nx * 4
-    # HARD cap at 512²-class planes (1 MB): the 1024² whole-plane kernel
-    # SEGFAULTS Mosaic at compile time (host memory blowup on the
-    # full-plane roll/select IR — reproduced twice on-chip, exit 139,
-    # even at 4 stages).  1024²+ takes the folded-2D tier instead.
-    if plane > 512 * 512 * 4:
-        return False
     kk = k if k is not None else len(offsets)
     scoped = int(0.9 * kk * plane)
     windows = 2 * 3 * plane  # b, x in + x (and r) out, double-buffered

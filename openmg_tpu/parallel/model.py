@@ -54,6 +54,13 @@ def comm_model(
     partitioned→replicated boundary all-gathers the restricted rhs; the
     fine level's fused df outer step exchanges (x_hi, x_lo, e) plane
     pairs.  All quantities are per device, per cycle.
+
+    Unit note: "per cycle" means one V/W/FMG cycle.  With
+    ``krylov='pcg'`` each outer defect-correction step runs
+    ``krylov_iters`` cycles plus one fine-level SpMV and three psum
+    scalars per CG step — multiply accordingly when projecting pcg
+    configurations (the psum scalars are negligible next to halo
+    traffic).
     """
     from openmg_tpu.ops import fused
 

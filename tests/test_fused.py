@@ -392,7 +392,7 @@ def test_fused2d_solve_parity_and_gate():
     # VMEM gate: 2048² planes (16 MB) must NOT take the whole-plane path
     offs = tuple((oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1))
     assert not kernels.supports_fused2d(offs, (2048, 2048))
-    assert kernels.supports_fused2d(offs, (512, 512))  # 1024² segfaults Mosaic compile -> folded tier
+    assert kernels.supports_fused2d(offs, (1024, 1024))
 
 
 # ---------------------------------------------------------------------------
