@@ -962,6 +962,13 @@ def supports_fused2d(offsets, shape, k: int | None = None) -> bool:
     if not (nx % 128 == 0 or nx in (32, 64)) or ny < 8:
         return False
     plane = ny * nx * 4
+    # Perf gate at 256²-class planes (measured on-chip, r5 probes, same
+    # process each: 256² solve 5.4× faster fused / sweeps 1.11×; at 512²
+    # fused LOSES — sweeps 0.86×, solve ~0.4× — the monolithic
+    # whole-plane kernel forfeits the small kernels' pipelining once the
+    # plane has real bandwidth cost.  ≥512² keeps the lift/folded tiers.
+    if plane > 256 * 256 * 4:
+        return False
     kk = k if k is not None else len(offsets)
     scoped = int(0.9 * kk * plane)
     windows = 2 * 3 * plane  # b, x in + x (and r) out, double-buffered

@@ -331,14 +331,14 @@ def main():
     # (via a 2D hierarchy level).  (b) Stage-free partial fusions at the
     # 1 MB-plane size their VMEM fit was calibrated for — (64, 512, 512)
     # is exactly a 512³/8-device local block.
-    print("whole-plane fused 2D (512² const + cornered level):")
+    print("whole-plane fused 2D (256² const + cornered level):")
     from openmg_tpu.ops import fused
     from openmg_tpu.ops.smoothers import smooth as smooth_any
     from openmg_tpu.ops.stencil import residual as st_resid
     from openmg_tpu.ops.transfer import restrict as tr_restrict
 
     s2d = setup(
-        (512, 512),
+        (256, 256),
         SolverConfig(
             smoother="rbgs", transfer="linear", gridlevels=3,
             max_dense_coarse=99999, residual_dtype="doublefloat",

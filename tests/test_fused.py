@@ -389,10 +389,11 @@ def test_fused2d_solve_parity_and_gate():
     assert i1["converged"] and i1["cycles"] == i2["cycles"]
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                rtol=0, atol=1e-9)
-    # VMEM gate: 2048² planes (16 MB) must NOT take the whole-plane path
+    # perf gate: ≥512² planes must NOT take the whole-plane path (it
+    # loses to the pipelined small kernels there — r5 on-chip probes)
     offs = tuple((oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1))
-    assert not kernels.supports_fused2d(offs, (2048, 2048))
-    assert kernels.supports_fused2d(offs, (1024, 1024))
+    assert not kernels.supports_fused2d(offs, (512, 512))
+    assert kernels.supports_fused2d(offs, (256, 256))
 
 
 # ---------------------------------------------------------------------------
