@@ -37,55 +37,66 @@ import scipy.sparse as sp
 __all__ = ["elasticity", "coupled_diffusion"]
 
 
-def _shift2d(shape, dy, dx):
+def _shift(shape, off):
     """Scalar node-shift matrix ``S[i, j] = 1`` iff node j is node i
-    offset by (dy, dx) — Dirichlet: out-of-grid neighbors dropped."""
-    ny, nx = shape
-    return sp.kron(sp.eye(ny, ny, k=dy), sp.eye(nx, nx, k=dx), format="csr")
+    offset by ``off`` — Dirichlet: out-of-grid neighbors dropped."""
+    S = None
+    for n, d in zip(shape, off):
+        E = sp.eye(int(n), int(n), k=int(d), format="csr")
+        S = E if S is None else sp.kron(S, E, format="csr")
+    return S
 
 
 def elasticity(shape, lam: float = 1.0, mu: float = 1.0):
-    """2D plane-strain linear elasticity on an ``(ny, nx)`` node grid.
+    """Linear elasticity on a 2D/3D node grid (d dofs per node).
 
     Discretizes ``−μ∇²u − (λ+μ)∇(∇·u) = f`` (Navier–Cauchy, homogeneous
-    Dirichlet, unit mesh) with central differences: 3-point ``∂xx``/
-    ``∂yy`` and the 4-corner cross stencil for ``∂xy``.  The block
-    stencil is 9-point with 2×2 blocks; the four corner blocks are
-    purely off-diagonal (the u_x↔u_y coupling) — dense-block structure
-    no scalar format captures.
+    Dirichlet, unit mesh; plane strain in 2D) with central differences:
+    3-point second derivatives and 4-corner cross stencils for the mixed
+    ``∂bc`` terms.  The block stencil has ``d×d`` blocks on the
+    (2d+1)-point star plus purely off-diagonal coupling blocks on the
+    edge diagonals of every axis pair — dense-block structure no scalar
+    format captures.
 
-    Returns scipy CSR of shape ``(2·ny·nx, 2·ny·nx)`` (node-major,
+    Returns scipy CSR of shape ``(d·N, d·N)`` (node-major,
     component-minor).  Symmetric; positive-definite for lam, mu > 0
     (verified spectrally in tests/test_elasticity.py).
     """
-    ny, nx = (int(s) for s in shape)
-    if ny < 3 or nx < 3:
+    shape = tuple(int(s) for s in shape)
+    d = len(shape)
+    if d not in (2, 3):
+        raise ValueError(f"elasticity supports 2D/3D node grids, got {shape}")
+    if any(s < 3 for s in shape):
         raise ValueError(f"elasticity needs at least a 3x3 grid, got {shape}")
     lam = float(lam)
     mu = float(mu)
     if lam <= 0 or mu <= 0:
         raise ValueError(f"Lamé parameters must be positive: lam={lam} mu={mu}")
     lm = lam + mu
-    d0 = 4.0 * mu + 2.0 * lm  # −μ∇² diag + −(λ+μ)∂cc diag, per component
 
-    def blk(a, b, c, d):
-        return np.array([[a, b], [c, d]], dtype=np.float64)
-
-    stencil = {
-        (0, 0): blk(d0, 0.0, 0.0, d0),
-        (0, 1): blk(-(lam + 2 * mu), 0.0, 0.0, -mu),
-        (0, -1): blk(-(lam + 2 * mu), 0.0, 0.0, -mu),
-        (1, 0): blk(-mu, 0.0, 0.0, -(lam + 2 * mu)),
-        (-1, 0): blk(-mu, 0.0, 0.0, -(lam + 2 * mu)),
-    }
-    for dy in (1, -1):
-        for dx in (1, -1):
-            c = -lm / 4.0 * (dy * dx)
-            stencil[(dy, dx)] = blk(0.0, c, c, 0.0)
+    stencil = {(0,) * d: (2 * d * mu + 2 * lm) * np.eye(d)}
+    for b in range(d):
+        for s in (1, -1):
+            B = -mu * np.eye(d)
+            B[b, b] = -(lam + 2 * mu)
+            stencil[tuple(s if i == b else 0 for i in range(d))] = B
+    for b in range(d):
+        for c in range(b + 1, d):
+            for sb in (1, -1):
+                for sc in (1, -1):
+                    B = np.zeros((d, d))
+                    v = -lm / 4.0 * (sb * sc)
+                    B[b, c] = v
+                    B[c, b] = v
+                    off = tuple(
+                        sb if i == b else sc if i == c else 0
+                        for i in range(d)
+                    )
+                    stencil[off] = B
 
     A = None
-    for (dy, dx), B in stencil.items():
-        term = sp.kron(_shift2d((ny, nx), dy, dx), sp.csr_matrix(B))
+    for off, B in stencil.items():
+        term = sp.kron(_shift(shape, off), sp.csr_matrix(B))
         A = term if A is None else A + term
     return A.tocsr()
 
