@@ -613,10 +613,13 @@ def _solve_device(
                     krylov=krylov,
                     krylov_iters=krylov_iters,
                 )
-                xh, xl, r2 = _kernels.df_update_residual_const_3d(
-                    offs, exact_terms, xh, xl, e, b[0], b[1]
+                xh, xl, r2, pn = _kernels.df_update_residual_const_3d(
+                    offs, exact_terms, xh, xl, e, b[0], b[1],
+                    emit_norm=True,
                 )
-                rn = jnp.sqrt(jnp.sum(r2 * r2))
+                # ‖r‖ from the kernel's per-tile partial sums — saves a
+                # full re-read of r2 for the convergence norm
+                rn = jnp.sqrt(jnp.sum(pn[:, 0, 0]))
                 k = k + 1
                 hist = hist.at[k].set(rn.astype(jnp.float32))
                 return (xh, xl), r2, k, hist, rn < threshold

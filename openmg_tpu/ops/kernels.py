@@ -63,6 +63,7 @@ _VMEM_BUDGET = 14 * 1024 * 1024  # of 16 MB/core; blocks are double-buffered
 # with the offset count K, so wide stencils (27-point faced levels) need
 # the K-aware stack model below.
 _VMEM_LIMIT = 64 * 1024 * 1024
+_LANE = 128
 _SCOPED_BUDGET = 52 * 1024 * 1024
 
 
@@ -803,19 +804,21 @@ def _fused_kernel(
     xh_ref, xl_ref, e_ref, bh_ref, bl_ref,
     xh_lo, xh_hi, xl_lo, xl_hi, e_lo, e_hi,
     *rest,
-    offsets, terms, tz, ny, nx, gz, halo=False,
+    offsets, terms, tz, ny, nx, gz, halo=False, emit_norm=False,
 ):
+    rest = list(rest)
     if halo:
         # device-halo planes of (x_hi, x_lo, e): the UPDATED halo x' is
         # computed in-kernel from the pre-update neighbor planes, so the
         # partitioned fused step needs no post-kernel edge repair
-        (hxh_lo, hxh_hi, hxl_lo, hxl_hi, he_lo, he_hi,
-         oxh_ref, oxl_ref, or_ref) = rest
+        (hxh_lo, hxh_hi, hxl_lo, hxl_hi, he_lo, he_hi) = rest[:6]
+        rest = rest[6:]
         hlo_h, hlo_l = _df_update(hxh_lo[...], hxl_lo[...], he_lo[...])
         hhi_h, hhi_l = _df_update(hxh_hi[...], hxl_hi[...], he_hi[...])
     else:
-        oxh_ref, oxl_ref, or_ref = rest
         hlo_h = hlo_l = hhi_h = hhi_l = None
+    oxh_ref, oxl_ref, or_ref = rest[:3]
+    on_ref = rest[3] if emit_norm else None
     i = pl.program_id(0)
     nxh, nxl = _df_update(xh_ref[...], xl_ref[...], e_ref[...])
     lo_h, lo_l = _df_update(xh_lo[...], xl_lo[...], e_lo[...])
@@ -846,10 +849,16 @@ def _fused_kernel(
     oxh_ref[...] = nxh
     oxl_ref[...] = nxl
     or_ref[...] = acch
+    if emit_norm:
+        # per-tile partial ‖r‖² — saves the caller's full re-read of r
+        # for the convergence norm (one plane-pass per cycle)
+        on_ref[...] = jnp.broadcast_to(
+            jnp.sum(acch * acch), (1, 8, _LANE)
+        ).astype(jnp.float32)
 
 
 def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
-                                halos=None):
+                                halos=None, emit_norm=False):
     """Fused outer-loop step for dyadic constant 3D stencils:
 
         (x_hi', x_lo') = df_add_f32((x_hi, x_lo), e)
@@ -872,10 +881,14 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
             # device halos cannot be consumed — callers must use the
             # unfused df path for partitioned 2D blocks (parallel/dist.py)
             raise ValueError("halos unsupported for 2D blocks")
-        xh, xl, r = df_update_residual_const_3d(
+        out2 = df_update_residual_const_3d(
             _lift2d(offsets), terms, x_hi[None], x_lo[None], e[None],
-            b_hi[None], b_lo[None],
+            b_hi[None], b_lo[None], emit_norm=emit_norm,
         )
+        if emit_norm:
+            xh, xl, r, pn = out2
+            return xh[0], xl[0], r[0], pn
+        xh, xl, r = out2
         return xh[0], xl[0], r[0]
     offsets = tuple(tuple(o) for o in offsets)
     nz, ny, nx = x_hi.shape
@@ -890,6 +903,7 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
         nx=nx,
         gz=gz,
         halo=halos is not None,
+        emit_norm=emit_norm,
     )
     tile = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lo_plane = pl.BlockSpec(
@@ -913,16 +927,28 @@ def df_update_residual_const_3d(offsets, terms, x_hi, x_lo, e, b_hi, b_lo,
         for pair in halos:
             args += [pair[0], pair[1]]
     interpret = jax.default_backend() != "tpu"
+    out_specs = [tile, tile, tile]
+    out_shape = [
+        jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
+        jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
+        jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
+    ]
+    if emit_norm:
+        # (1, 8, 128) tile: Mosaic requires the last two block dims be
+        # (8, 128)-divisible or full-extent
+        out_specs.append(
+            pl.BlockSpec((1, 8, _LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((gz, 8, _LANE), jnp.float32)
+        )
     out = pl.pallas_call(
         kern,
         grid=(gz,),
         in_specs=in_specs,
-        out_specs=(tile, tile, tile),
-        out_shape=(
-            jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
-            jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
-            jax.ShapeDtypeStruct(x_hi.shape, x_hi.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*args)
     return out

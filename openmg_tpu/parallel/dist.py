@@ -581,15 +581,18 @@ def _dist_solve_loop(
                 krylov=krylov, krylov_iters=krylov_iters,
                 cycle_kwargs=cycle_kwargs,
             )
-            xh, xl, r2 = _kernels.df_update_residual_const_3d(
+            xh, xl, r2, pn = _kernels.df_update_residual_const_3d(
                 fine_offsets, fused_terms, xh, xl, e, b_hi, b_lo,
                 halos=(
                     halo_planes(xh, axis_name, n_dev),
                     halo_planes(xl, axis_name, n_dev),
                     halo_planes(e, axis_name, n_dev),
                 ),
+                emit_norm=True,
             )
-            nsq = jnp.sum(r2 * r2)
+            # local ‖r‖² from the kernel's per-tile partial sums (no full
+            # re-read of r2), then the usual psum across the partition
+            nsq = jnp.sum(pn[:, 0, 0])
             if n_dev > 1:
                 nsq = lax.psum(nsq, axis_name)
             rn = jnp.sqrt(nsq)

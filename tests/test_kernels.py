@@ -292,3 +292,28 @@ def test_varying_residual_matches_apply():
     np.testing.assert_allclose(
         np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_df_update_residual_emit_norm():
+    """emit_norm=True: the kernel's per-tile partial sums reproduce
+    ‖r‖² (saves a full r re-read per cycle for the convergence norm)."""
+    from openmg_tpu.ops.doublefloat import df_split, pow2_terms
+
+    shape = (8, 8, 128)
+    op = _const_op(shape)
+    terms = tuple(pow2_terms(float(v)) for v in np.asarray(op.values))
+    rng = np.random.default_rng(9)
+    b_df = df_split(rng.standard_normal(shape))
+    x_df = df_split(rng.standard_normal(shape))
+    e = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    xh, xl, r, pn = kernels.df_update_residual_const_3d(
+        op.offsets, terms, x_df[0], x_df[1], e, b_df[0], b_df[1],
+        emit_norm=True,
+    )
+    xh0, xl0, r0 = kernels.df_update_residual_const_3d(
+        op.offsets, terms, x_df[0], x_df[1], e, b_df[0], b_df[1]
+    )
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(r0))
+    nsq_ref = float(jnp.sum(r0.astype(jnp.float64) ** 2))
+    nsq = float(jnp.sum(pn[:, 0, 0]))
+    assert abs(nsq - nsq_ref) <= 1e-5 * max(nsq_ref, 1e-30), (nsq, nsq_ref)
